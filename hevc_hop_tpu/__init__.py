@@ -1,0 +1,23 @@
+"""hevc_hop_tpu — a TPU-native HEVC Main/Main10 encode/decode engine with
+HOP (high-order intrablock prediction) lenslet light-field tools.
+
+Built from scratch for TPU (JAX/XLA/Pallas/pjit). Capability reference:
+zinsayon/HEVC-HOP (HM 16.x + IT/Lisbon self-similarity + geometric-transform
+extensions). This is NOT a port: the compute path is expressed as batched,
+jittable tensor programs (dense per-depth mode evaluation, wavefront diagonal
+scheduling, matmul transforms on the MXU), with a native C++ CABAC runtime for
+the serial entropy tail.
+
+Layout:
+  common/    ROM tables, constants, enums         (ref: TLibCommon/TComRom, TypeDef)
+  ops/       jittable compute kernels             (ref: TComTrQuant, TComPrediction, ...)
+  entropy/   CABAC engine + syntax coding         (ref: TEncSbac/TDecSbac, ContextTables)
+  bitstream/ NAL / RBSP / parameter sets          (ref: TComBitStream, NAL, TEncCavlc)
+  models/    encoder/decoder pipelines            (ref: TEncTop/TEncGOP/TEncCu, TDecTop)
+  parallel/  mesh sharding, wavefront scheduling  (ref: WPP/tiles constructs)
+  io/        YUV file I/O, picture hashes         (ref: TLibVideoIO, TComPicYuvMD5)
+  utils/     config system, CLI                   (ref: TAppCommon/program_options_lite)
+  native/    C++ runtime sources (CABAC engine)
+"""
+
+__version__ = "0.1.0"
