@@ -1,0 +1,106 @@
+"""ctypes bindings for the native C++ CABAC/syntax runtime (libhevc_hop.so).
+
+Builds on demand with the in-tree Makefile if the shared library is missing
+or stale. All array arguments are numpy arrays with C-contiguous layout.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "native")
+_LIB_PATH = os.path.join(_DIR, "libhevc_hop.so")
+
+_lib = None
+
+
+def _build() -> None:
+    subprocess.run(["make", "-C", _DIR, "-s"], check=True)
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    src = os.path.join(_DIR, "cabac.cpp")
+    if (not os.path.exists(_LIB_PATH)
+            or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)):
+        _build()
+    lib = ctypes.CDLL(_LIB_PATH)
+    u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i16 = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    c = ctypes.c_int
+    c64 = ctypes.c_int64
+
+    lib.hevc_num_ctx.restype = c
+    lib.hevc_encode_slice_data.restype = c64
+    lib.hevc_encode_slice_data.argtypes = [
+        u8, c, c, c, u8, u8, u8, u8, u8, u8, u8, i16, i16, i16, u8, c64]
+    lib.hevc_decode_slice_data.restype = c64
+    lib.hevc_decode_slice_data.argtypes = [
+        u8, c, c, c, u8, c64, u8, u8, u8, u8, u8, u8, u8, i16, i16, i16]
+    lib.cabac_encode_ops.restype = c64
+    lib.cabac_encode_ops.argtypes = [u8, c, i32, i32, i32, c, u8, c64]
+    lib.cabac_decode_ops.restype = c64
+    lib.cabac_decode_ops.argtypes = [u8, c, i32, i32, i32, c, u8, c64]
+    lib.residual_encode_one.restype = c64
+    lib.residual_encode_one.argtypes = [u8, i16, c, c, c, u8, c64]
+    lib.residual_decode_one.restype = c64
+    lib.residual_decode_one.argtypes = [u8, i16, c, c, c, u8, c64]
+    _lib = lib
+    return lib
+
+
+class SliceMaps:
+    """Dense per-frame maps exchanged with the native slice codec."""
+
+    def __init__(self, pic_w: int, pic_h: int, ctb_log2: int = 5) -> None:
+        assert pic_w % 8 == 0 and pic_h % 8 == 0
+        self.pic_w, self.pic_h, self.ctb_log2 = pic_w, pic_h, ctb_log2
+        u8w, u8h = pic_w // 8, pic_h // 8
+        u4w, u4h = pic_w // 4, pic_h // 4
+        self.depth8 = np.zeros((u8h, u8w), np.uint8)
+        self.part8 = np.zeros((u8h, u8w), np.uint8)
+        self.mode4 = np.ones((u4h, u4w), np.uint8)
+        self.cmode8 = np.full((u8h, u8w), 36, np.uint8)  # 36 = DM
+        self.cbf4_y = np.zeros((u4h, u4w), np.uint8)
+        self.cbf8_cb = np.zeros((u8h, u8w), np.uint8)
+        self.cbf8_cr = np.zeros((u8h, u8w), np.uint8)
+        self.coef_y = np.zeros((pic_h, pic_w), np.int16)
+        self.coef_cb = np.zeros((pic_h // 2, pic_w // 2), np.int16)
+        self.coef_cr = np.zeros((pic_h // 2, pic_w // 2), np.int16)
+
+    def _args(self):
+        return (self.depth8, self.part8, self.mode4, self.cmode8,
+                self.cbf4_y, self.cbf8_cb, self.cbf8_cr,
+                self.coef_y, self.coef_cb, self.coef_cr)
+
+
+def encode_slice_data(ctx_states: np.ndarray, maps: SliceMaps) -> bytes:
+    lib = get_lib()
+    cap = maps.pic_w * maps.pic_h * 8 + 65536
+    out = np.zeros(cap, np.uint8)
+    n = lib.hevc_encode_slice_data(
+        np.ascontiguousarray(ctx_states, np.uint8),
+        maps.pic_w, maps.pic_h, maps.ctb_log2, *maps._args(), out, cap)
+    if n < 0:
+        raise RuntimeError("slice data overflow")
+    return out[:n].tobytes()
+
+
+def decode_slice_data(ctx_states: np.ndarray, data: bytes,
+                      pic_w: int, pic_h: int, ctb_log2: int = 5) -> SliceMaps:
+    lib = get_lib()
+    maps = SliceMaps(pic_w, pic_h, ctb_log2)
+    buf = np.frombuffer(data, np.uint8)
+    n = lib.hevc_decode_slice_data(
+        np.ascontiguousarray(ctx_states, np.uint8), pic_w, pic_h, ctb_log2,
+        buf, len(data), *maps._args())
+    if n < 0:
+        raise RuntimeError("slice data desync")
+    return maps

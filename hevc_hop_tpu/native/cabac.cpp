@@ -1,0 +1,1197 @@
+// Native CABAC runtime: arithmetic engine + full HEVC slice-data syntax
+// (CU quadtree, intra modes, transform tree, residual coding) in both
+// directions, operating over dense frame-granular maps so the TPU side
+// (JAX) works on whole-frame tensors and this layer handles the serial bits.
+//
+// Capability reference: TEncBinCoderCABAC.cpp / TDecBinCoderCABAC.cpp
+// (engine), TEncSbac.cpp:1829 codeCoeffNxN / TDecSbac.cpp (residual syntax),
+// TEncCu.cpp:1019 xEncodeCU / TDecCu.cpp (CU syntax). This is a fresh
+// implementation from the H.265 spec (7.3.8.x, 9.3.x) with an array-based
+// interface designed for batched TPU reconstruction; it is not a port.
+//
+// Build: make -C hevc_hop_tpu/native   -> libhevc_hop.so (ctypes)
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#include "gen/cabac_tables.h"
+#include "gen/ctx_layout.h"
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Arithmetic engine (H.265 9.3.4.3), byte-exact with the reference engine.
+// ---------------------------------------------------------------------------
+
+struct CabacEnc {
+  uint32_t low = 0, range = 510;
+  int bits_left = 23, num_buffered = 0;
+  uint32_t buffered_byte = 0xFF;
+  std::vector<uint8_t>* out;
+  // bit-level tail (the payload before CABAC data is byte aligned, so only
+  // finish() produces sub-byte bits; we spill them into held bits)
+  uint32_t held = 0;
+  int held_bits = 0;
+
+  void put_bits(uint32_t value, int n) {
+    value &= (n < 32) ? ((1u << n) - 1) : 0xFFFFFFFFu;
+    int bits = held_bits + n;
+    uint64_t acc = ((uint64_t)held << n) | value;
+    while (bits >= 8) {
+      bits -= 8;
+      out->push_back((uint8_t)(acc >> bits));
+    }
+    held = (uint32_t)(acc & ((1u << bits) - 1));
+    held_bits = bits;
+  }
+
+  void write_out() {
+    uint32_t lead = low >> (24 - bits_left);
+    bits_left += 8;
+    low &= 0xFFFFFFFFu >> bits_left;
+    if (lead == 0xFF) {
+      num_buffered++;
+    } else if (num_buffered > 0) {
+      uint32_t carry = lead >> 8;
+      put_bits((buffered_byte + carry) & 0xFF, 8);
+      buffered_byte = lead & 0xFF;
+      uint32_t fill = (0xFF + carry) & 0xFF;
+      while (num_buffered > 1) {
+        put_bits(fill, 8);
+        num_buffered--;
+      }
+    } else {
+      num_buffered = 1;
+      buffered_byte = lead & 0xFF;
+    }
+  }
+
+  inline void bin(uint8_t* ctx, int idx, int b) {
+    uint8_t s = ctx[idx];
+    uint32_t lps = kLpsTable[s >> 1][(range >> 6) & 3];
+    range -= lps;
+    if (b != (s & 1)) {
+      int nb = kRenormTable[lps >> 3];
+      low = (low + range) << nb;
+      range = lps << nb;
+      ctx[idx] = kNextStateLps[s];
+      bits_left -= nb;
+    } else {
+      ctx[idx] = kNextStateMps[s];
+      if (range >= 256) return;
+      low <<= 1;
+      range <<= 1;
+      bits_left--;
+    }
+    if (bits_left < 12) write_out();
+  }
+
+  inline void bypass(int b) {
+    low <<= 1;
+    if (b) low += range;
+    bits_left--;
+    if (bits_left < 12) write_out();
+  }
+
+  inline void bypass_bins(uint32_t value, int n) {
+    while (n > 8) {
+      n -= 8;
+      uint32_t pattern = value >> n;
+      low = (low << 8) + range * pattern;
+      value -= pattern << n;
+      bits_left -= 8;
+      if (bits_left < 12) write_out();
+    }
+    low = (low << n) + range * value;
+    bits_left -= n;
+    if (bits_left < 12) write_out();
+  }
+
+  inline void terminate(int b) {
+    range -= 2;
+    if (b) {
+      low = (low + range) << 7;
+      range = 2 << 7;
+      bits_left -= 7;
+    } else if (range >= 256) {
+      return;
+    } else {
+      low <<= 1;
+      range <<= 1;
+      bits_left--;
+    }
+    if (bits_left < 12) write_out();
+  }
+
+  void finish() {
+    if (low >> (32 - bits_left)) {
+      put_bits((buffered_byte + 1) & 0xFF, 8);
+      while (num_buffered > 1) {
+        put_bits(0x00, 8);
+        num_buffered--;
+      }
+      low -= 1u << (32 - bits_left);
+    } else {
+      if (num_buffered > 0) put_bits(buffered_byte, 8);
+      while (num_buffered > 1) {
+        put_bits(0xFF, 8);
+        num_buffered--;
+      }
+    }
+    put_bits(low >> 8, 24 - bits_left);
+  }
+
+  void byte_align_with_stop_bit() {
+    put_bits(1, 1);
+    if (held_bits) put_bits(0, 8 - held_bits);
+  }
+};
+
+struct CabacDec {
+  const uint8_t* data;
+  int64_t size, pos = 0;
+  uint32_t range = 510, value = 0;
+  int bits_needed = -8;
+
+  void start() {
+    value = ((uint32_t)byte() << 8) | byte();
+    bits_needed = -8;
+  }
+
+  inline uint32_t byte() { return pos < size ? data[pos++] : 0; }
+
+  inline int bin(uint8_t* ctx, int idx) {
+    uint8_t s = ctx[idx];
+    uint32_t lps = kLpsTable[s >> 1][(range >> 6) & 3];
+    range -= lps;
+    uint32_t scaled = range << 7;
+    int b;
+    if (value < scaled) {
+      b = s & 1;
+      ctx[idx] = kNextStateMps[s];
+      if (scaled < (256u << 7)) {
+        range = scaled >> 6;
+        value += value;
+        if (++bits_needed == 0) {
+          bits_needed = -8;
+          value += byte();
+        }
+      }
+    } else {
+      int nb = kRenormTable[lps >> 3];
+      value = (value - scaled) << nb;
+      range = lps << nb;
+      b = 1 - (s & 1);
+      ctx[idx] = kNextStateLps[s];
+      bits_needed += nb;
+      if (bits_needed >= 0) {
+        value += byte() << bits_needed;
+        bits_needed -= 8;
+      }
+    }
+    return b;
+  }
+
+  inline int bypass() {
+    value += value;
+    if (++bits_needed >= 0) {
+      bits_needed = -8;
+      value += byte();
+    }
+    uint32_t scaled = range << 7;
+    if (value >= scaled) {
+      value -= scaled;
+      return 1;
+    }
+    return 0;
+  }
+
+  inline uint32_t bypass_bins(int n) {
+    uint32_t bins = 0;
+    while (n > 8) {
+      value = (value << 8) + (byte() << (8 + bits_needed));
+      uint32_t scaled = range << 15;
+      for (int i = 0; i < 8; i++) {
+        bins += bins;
+        scaled >>= 1;
+        if (value >= scaled) {
+          bins++;
+          value -= scaled;
+        }
+      }
+      n -= 8;
+    }
+    bits_needed += n;
+    value <<= n;
+    if (bits_needed >= 0) {
+      value += byte() << bits_needed;
+      bits_needed -= 8;
+    }
+    uint32_t scaled = range << (n + 7);
+    for (int i = 0; i < n; i++) {
+      bins += bins;
+      scaled >>= 1;
+      if (value >= scaled) {
+        bins++;
+        value -= scaled;
+      }
+    }
+    return bins;
+  }
+
+  inline int terminate() {
+    range -= 2;
+    uint32_t scaled = range << 7;
+    if (value >= scaled) return 1;
+    if (scaled < (256u << 7)) {
+      range = scaled >> 6;
+      value += value;
+      if (++bits_needed == 0) {
+        bits_needed = -8;
+        value += byte();
+      }
+    }
+    return 0;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Scan tables (H.265 6.5.3): scan position -> raster index within TU.
+// ---------------------------------------------------------------------------
+
+struct Scans {
+  // [scanIdx][log2-2][pos] and CG scans [scanIdx][log2-2][cg]
+  std::vector<uint16_t> coef[3][4];
+  std::vector<uint16_t> cg[3][4];
+  Scans() {
+    for (int lw = 2; lw <= 5; lw++) {
+      int n = 1 << lw;
+      for (int s = 0; s < 3; s++) {
+        coef[s][lw - 2] = build(n, s);
+        // CG scan over the group grid is flat (not 4x4-subgrouped)
+        int gn = n / 4 > 0 ? n / 4 : 1;
+        cg[s][lw - 2] = (s == 0) ? diag(gn) : raster(gn, s == 2);
+      }
+    }
+  }
+  static std::vector<uint16_t> diag(int sz) {
+    std::vector<uint16_t> v;
+    for (int d = 0; d < 2 * sz - 1; d++) {
+      int y = d < sz ? d : sz - 1;
+      int x = d - y;
+      while (y >= 0 && x < sz) v.push_back((uint16_t)(y-- * sz + x++));
+    }
+    return v;
+  }
+  static std::vector<uint16_t> raster(int sz, bool vert) {
+    std::vector<uint16_t> v;
+    for (int a = 0; a < sz; a++)
+      for (int b = 0; b < sz; b++)
+        v.push_back((uint16_t)(vert ? b * sz + a : a * sz + b));
+    return v;
+  }
+  static std::vector<uint16_t> build(int n, int s) {
+    if (n <= 4) {
+      if (s == 0) return diag(n);
+      return raster(n, s == 2);
+    }
+    // 4x4-group based
+    std::vector<uint16_t> groups = (s == 0) ? diag(n / 4) : raster(n / 4, s == 2);
+    std::vector<uint16_t> inner = (s == 0) ? diag(4) : raster(4, s == 2);
+    std::vector<uint16_t> v;
+    for (uint16_t g : groups) {
+      int gy = g / (n / 4), gx = g % (n / 4);
+      for (uint16_t in : inner) {
+        int iy = in / 4, ix = in % 4;
+        v.push_back((uint16_t)((gy * 4 + iy) * n + gx * 4 + ix));
+      }
+    }
+    return v;
+  }
+};
+static const Scans g_scans;
+
+static const uint8_t kCtxMap4x4[16] = {0, 1, 4, 5, 2, 3, 4, 5,
+                                       6, 6, 8, 8, 7, 7, 8, 8};
+static const uint8_t kMinInGroup[10] = {0, 1, 2, 3, 4, 6, 8, 12, 16, 24};
+
+static inline int group_idx(int pos) {
+  if (pos < 4) return pos;
+  int k = 31 - __builtin_clz((unsigned)pos);
+  return 2 * k + ((pos >= (1 << k) + (1 << (k - 1))) ? 1 : 0);
+}
+
+static inline int sig_ctx(int log2, int c_idx, int xc, int yc, int scan,
+                          int csbf_right, int csbf_below) {
+  if (log2 == 2) return kCtxMap4x4[(yc << 2) + xc];
+  if (xc == 0 && yc == 0) return 0;
+  int prev = csbf_right + 2 * csbf_below;
+  int xp = xc & 3, yp = yc & 3, s;
+  switch (prev) {
+    case 0: s = (xp + yp == 0) ? 2 : (xp + yp < 3) ? 1 : 0; break;
+    case 1: s = (yp == 0) ? 2 : (yp == 1) ? 1 : 0; break;
+    case 2: s = (xp == 0) ? 2 : (xp == 1) ? 1 : 0; break;
+    default: s = 2;
+  }
+  if (c_idx == 0) {
+    if (xc > 3 || yc > 3) s += 3;
+    s += (log2 == 3) ? (scan == 0 ? 9 : 15) : 21;
+  } else {
+    s += (log2 == 3) ? 9 : 12;
+  }
+  return s;
+}
+
+// MDCS (H.265 8.4.4.2.7 scan selection / ref TComDataCU getCoefScanIdx)
+static inline int scan_for_tu(int log2, int c_idx, int intra_mode) {
+  if (log2 == 2 || (log2 == 3 && c_idx == 0)) {
+    int d = intra_mode;
+    if (d >= 22 && d <= 30) return 1;  // near-vertical pred -> horizontal scan
+    if (d >= 6 && d <= 14) return 2;   // near-horizontal pred -> vertical scan
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Residual coding (H.265 7.3.8.11 + 9.3.4.2.5-7), encode & decode.
+// coef: pointer into a full-frame plane, `stride` elements per row.
+// ---------------------------------------------------------------------------
+
+struct ResidualCommon {
+  int log2, c_idx, scan;
+  const uint16_t* cscan;  // coef scan: pos -> raster idx in TU
+  const uint16_t* gscan;  // CG scan
+  int n, num_cg_side;
+  void setup(int log2_, int c_idx_, int intra_mode) {
+    log2 = log2_;
+    c_idx = c_idx_;
+    scan = scan_for_tu(log2, c_idx, intra_mode);
+    cscan = g_scans.coef[scan][log2 - 2].data();
+    gscan = g_scans.cg[scan][log2 - 2].data();
+    n = 1 << log2;
+    num_cg_side = n >> 2;
+  }
+  inline int last_ctx_base(bool is_x) const {
+    (void)is_x;
+    return 0;
+  }
+};
+
+static void encode_residual(CabacEnc& e, uint8_t* ctx, const int16_t* coef,
+                            int stride, int log2, int c_idx, int intra_mode) {
+  ResidualCommon rc;
+  rc.setup(log2, c_idx, intra_mode);
+  const int num_coef = rc.n * rc.n;
+
+  // gather coefficients in scan order + find last significant
+  int last_scan_pos = -1;
+  for (int p = num_coef - 1; p >= 0; p--) {
+    int r = rc.cscan[p];
+    if (coef[(r >> log2) * stride + (r & (rc.n - 1))]) {
+      last_scan_pos = p;
+      break;
+    }
+  }
+  if (last_scan_pos < 0) return;  // caller must not emit cbf=1 then
+
+  int last_r = rc.cscan[last_scan_pos];
+  int pos_x = last_r & (rc.n - 1), pos_y = last_r >> log2;
+  if (rc.scan == 2) { int t = pos_x; pos_x = pos_y; pos_y = t; }
+
+  // last_sig_coeff x/y prefix+suffix
+  int gx = group_idx(pos_x), gy = group_idx(pos_y);
+  int max_group = (log2 << 1) - 1;
+  int blk_off, shift;
+  if (c_idx == 0) {
+    blk_off = 3 * (log2 - 2) + ((log2 - 1) >> 2);
+    shift = (log2 + 1) >> 2;
+  } else {
+    blk_off = 0;
+    shift = log2 - 2;
+  }
+  int bx = (c_idx == 0) ? CTX_LAST_X_LUMA : CTX_LAST_X_CHROMA;
+  int by = (c_idx == 0) ? CTX_LAST_Y_LUMA : CTX_LAST_Y_CHROMA;
+  for (int i = 0; i < gx; i++) e.bin(ctx, bx + blk_off + (i >> shift), 1);
+  if (gx < max_group) e.bin(ctx, bx + blk_off + (gx >> shift), 0);
+  for (int i = 0; i < gy; i++) e.bin(ctx, by + blk_off + (i >> shift), 1);
+  if (gy < max_group) e.bin(ctx, by + blk_off + (gy >> shift), 0);
+  if (gx > 3) e.bypass_bins(pos_x - kMinInGroup[gx], (gx >> 1) - 1);
+  if (gy > 3) e.bypass_bins(pos_y - kMinInGroup[gy], (gy >> 1) - 1);
+
+  int last_cg = last_scan_pos >> 4;
+  std::vector<uint8_t> csbf(rc.num_cg_side * rc.num_cg_side, 0);
+  // precompute csbf
+  for (int cgi = 0; cgi <= last_cg; cgi++) {
+    int cg_r = rc.gscan[cgi];
+    int cx = (cg_r % rc.num_cg_side) * 4, cy = (cg_r / rc.num_cg_side) * 4;
+    uint8_t any = 0;
+    for (int yy = 0; yy < 4; yy++)
+      for (int xx = 0; xx < 4; xx++)
+        any |= coef[(cy + yy) * stride + cx + xx] != 0;
+    csbf[cg_r] = any;
+  }
+  // DC CG and last CG have csbf inferred to 1: even if the DC CG is all
+  // zero, its significance map is still coded (all-zero sig flags).
+  csbf[rc.gscan[0]] = 1;
+
+  int c1 = 1;
+  const int sig_base = (c_idx == 0) ? CTX_SIG_LUMA : CTX_SIG_CHROMA;
+  const int one_base = (c_idx == 0) ? CTX_ONE_LUMA : CTX_ONE_CHROMA;
+  const int abs_base = (c_idx == 0) ? CTX_ABS_LUMA : CTX_ABS_CHROMA;
+  const int cg_base = (c_idx == 0) ? CTX_SIG_CG_LUMA : CTX_SIG_CG_CHROMA;
+
+  for (int cgi = last_cg; cgi >= 0; cgi--) {
+    int cg_r = rc.gscan[cgi];
+    int cgx = cg_r % rc.num_cg_side, cgy = cg_r / rc.num_cg_side;
+    int right = (cgx + 1 < rc.num_cg_side) ? csbf[cg_r + 1] : 0;
+    int below = (cgy + 1 < rc.num_cg_side) ? csbf[cg_r + rc.num_cg_side] : 0;
+    bool infer_dc = false;
+    if (cgi < last_cg && cgi > 0) {
+      e.bin(ctx, cg_base + ((right | below) ? 1 : 0), csbf[cg_r]);
+      infer_dc = true;
+    }
+    if (!csbf[cg_r]) continue;
+
+    // significance map
+    int n_sig = 0;
+    int16_t sig_lev[16];
+    int start = (cgi == last_cg) ? (last_scan_pos & 15) : 15;
+    if (cgi == last_cg) {
+      int r = rc.cscan[last_scan_pos];
+      sig_lev[n_sig++] = coef[(r >> log2) * stride + (r & (rc.n - 1))];
+      start--;
+    }
+    for (int p = start; p >= 0; p--) {
+      int sp = (cgi << 4) | p;
+      int r = rc.cscan[sp];
+      int xc = r & (rc.n - 1), yc = r >> log2;
+      int16_t lev = coef[yc * stride + xc];
+      int sig = lev != 0;
+      if (p > 0 || !infer_dc) {
+        e.bin(ctx, sig_base + sig_ctx(log2, c_idx, xc, yc, rc.scan,
+                                      right, below), sig);
+        if (sig) infer_dc = false;
+      }
+      if (sig) sig_lev[n_sig++] = lev;
+    }
+
+    // greater1 / greater2
+    int ctx_set = ((cgi == 0 || c_idx > 0) ? 0 : 2) + (c1 == 0 ? 1 : 0);
+    c1 = 1;
+    int first_c2_idx = -1;
+    int num_c1 = n_sig < 8 ? n_sig : 8;
+    for (int i = 0; i < num_c1; i++) {
+      int abs_lev = sig_lev[i] < 0 ? -sig_lev[i] : sig_lev[i];
+      int g1 = abs_lev > 1;
+      e.bin(ctx, one_base + ctx_set * 4 + c1, g1);
+      if (g1) {
+        c1 = 0;
+        if (first_c2_idx < 0) first_c2_idx = i;
+      } else if (c1 < 3 && c1 > 0) {
+        c1++;
+      }
+    }
+    if (first_c2_idx >= 0) {
+      int abs_lev = sig_lev[first_c2_idx] < 0 ? -sig_lev[first_c2_idx]
+                                              : sig_lev[first_c2_idx];
+      e.bin(ctx, abs_base + ctx_set, abs_lev > 2);
+    }
+
+    // signs (no sign-data-hiding in this profile configuration)
+    for (int i = 0; i < n_sig; i++) e.bypass(sig_lev[i] < 0);
+
+    // remaining levels, Golomb-Rice
+    int rice = 0;
+    for (int i = 0; i < n_sig; i++) {
+      int abs_lev = sig_lev[i] < 0 ? -sig_lev[i] : sig_lev[i];
+      int base_level = (i < 8) ? ((i == first_c2_idx) ? 3 : 2) : 1;
+      if (abs_lev >= base_level) {
+        uint32_t rem = abs_lev - base_level;
+        // coeff_abs_level_remaining binarization (9.3.3.9)
+        if (rem < (3u << rice)) {
+          int len = rem >> rice;
+          e.bypass_bins((1u << (len + 1)) - 2, len + 1);
+          if (rice) e.bypass_bins(rem & ((1u << rice) - 1), rice);
+        } else {
+          int len = rice;
+          uint32_t cn = rem - (3u << rice);
+          while (cn >= (1u << len)) {
+            cn -= 1u << len;
+            len++;
+          }
+          e.bypass_bins((1u << (3 + len + 1 - rice)) - 2, 3 + len + 1 - rice);
+          if (len) e.bypass_bins(cn, len);
+        }
+      }
+      if (abs_lev > (3 << rice) && rice < 4) rice++;
+    }
+  }
+}
+
+static void decode_residual(CabacDec& d, uint8_t* ctx, int16_t* coef,
+                            int stride, int log2, int c_idx, int intra_mode) {
+  ResidualCommon rc;
+  rc.setup(log2, c_idx, intra_mode);
+
+  int max_group = (log2 << 1) - 1;
+  int blk_off, shift;
+  if (c_idx == 0) {
+    blk_off = 3 * (log2 - 2) + ((log2 - 1) >> 2);
+    shift = (log2 + 1) >> 2;
+  } else {
+    blk_off = 0;
+    shift = log2 - 2;
+  }
+  int bx = (c_idx == 0) ? CTX_LAST_X_LUMA : CTX_LAST_X_CHROMA;
+  int by = (c_idx == 0) ? CTX_LAST_Y_LUMA : CTX_LAST_Y_CHROMA;
+  int gx = 0, gy = 0;
+  while (gx < max_group && d.bin(ctx, bx + blk_off + (gx >> shift))) gx++;
+  while (gy < max_group && d.bin(ctx, by + blk_off + (gy >> shift))) gy++;
+  int pos_x = kMinInGroup[gx], pos_y = kMinInGroup[gy];
+  if (gx > 3) pos_x += d.bypass_bins((gx >> 1) - 1);
+  if (gy > 3) pos_y += d.bypass_bins((gy >> 1) - 1);
+  if (rc.scan == 2) { int t = pos_x; pos_x = pos_y; pos_y = t; }
+
+  // find last scan pos from coordinates
+  int last_raster = pos_y * rc.n + pos_x;
+  int num_coef = rc.n * rc.n;
+  int last_scan_pos = 0;
+  for (int p = 0; p < num_coef; p++)
+    if (rc.cscan[p] == last_raster) {
+      last_scan_pos = p;
+      break;
+    }
+
+  int last_cg = last_scan_pos >> 4;
+  std::vector<uint8_t> csbf(rc.num_cg_side * rc.num_cg_side, 0);
+  int c1 = 1;
+  const int sig_base = (c_idx == 0) ? CTX_SIG_LUMA : CTX_SIG_CHROMA;
+  const int one_base = (c_idx == 0) ? CTX_ONE_LUMA : CTX_ONE_CHROMA;
+  const int abs_base = (c_idx == 0) ? CTX_ABS_LUMA : CTX_ABS_CHROMA;
+  const int cg_base = (c_idx == 0) ? CTX_SIG_CG_LUMA : CTX_SIG_CG_CHROMA;
+
+  for (int cgi = last_cg; cgi >= 0; cgi--) {
+    int cg_r = rc.gscan[cgi];
+    int cgx = cg_r % rc.num_cg_side, cgy = cg_r / rc.num_cg_side;
+    int right = (cgx + 1 < rc.num_cg_side) ? csbf[cg_r + 1] : 0;
+    int below = (cgy + 1 < rc.num_cg_side) ? csbf[cg_r + rc.num_cg_side] : 0;
+    bool infer_dc = false;
+    uint8_t flag = 1;
+    if (cgi < last_cg && cgi > 0) {
+      flag = (uint8_t)d.bin(ctx, cg_base + ((right | below) ? 1 : 0));
+      infer_dc = true;
+    }
+    csbf[cg_r] = flag;
+    if (!flag) continue;
+
+    int sig_pos[16], n_sig = 0;
+    int start = (cgi == last_cg) ? (last_scan_pos & 15) : 15;
+    if (cgi == last_cg) {
+      sig_pos[n_sig++] = last_scan_pos & 15;
+      start--;
+    }
+    for (int p = start; p >= 0; p--) {
+      int sp = (cgi << 4) | p;
+      int r = rc.cscan[sp];
+      int xc = r & (rc.n - 1), yc = r >> log2;
+      int sig;
+      if (p > 0 || !infer_dc) {
+        sig = d.bin(ctx, sig_base + sig_ctx(log2, c_idx, xc, yc, rc.scan,
+                                            right, below));
+        if (sig) infer_dc = false;
+      } else {
+        sig = 1;  // inferred DC significance
+      }
+      if (sig) sig_pos[n_sig++] = p;
+    }
+
+    int ctx_set = ((cgi == 0 || c_idx > 0) ? 0 : 2) + (c1 == 0 ? 1 : 0);
+    c1 = 1;
+    int first_c2_idx = -1;
+    int levels[16];
+    int num_c1 = n_sig < 8 ? n_sig : 8;
+    for (int i = 0; i < n_sig; i++) levels[i] = 1;
+    for (int i = 0; i < num_c1; i++) {
+      int g1 = d.bin(ctx, one_base + ctx_set * 4 + c1);
+      if (g1) {
+        levels[i] = 2;
+        c1 = 0;
+        if (first_c2_idx < 0) first_c2_idx = i;
+      } else if (c1 < 3 && c1 > 0) {
+        c1++;
+      }
+    }
+    if (first_c2_idx >= 0)
+      levels[first_c2_idx] += d.bin(ctx, abs_base + ctx_set);
+
+    int signs[16];
+    for (int i = 0; i < n_sig; i++) signs[i] = d.bypass();
+
+    int rice = 0;
+    for (int i = 0; i < n_sig; i++) {
+      int base_level = (i < 8) ? ((i == first_c2_idx) ? 3 : 2) : 1;
+      int abs_lev = levels[i];
+      if (abs_lev >= base_level) {
+        // decode coeff_abs_level_remaining
+        int prefix = 0;
+        while (prefix < 32 && d.bypass()) prefix++;
+        uint32_t rem;
+        if (prefix < 3) {
+          rem = (prefix << rice) + (rice ? d.bypass_bins(rice) : 0);
+        } else {
+          // escape: rem = cn + 2^len + 2^(rice+1), len = rice + prefix - 3
+          int len = prefix - 3 + rice;
+          rem = (len ? d.bypass_bins(len) : 0) + (1u << len) +
+                (1u << (rice + 1));
+        }
+        abs_lev = base_level + rem;
+      }
+      if (abs_lev > (3 << rice) && rice < 4) rice++;
+      int sp = (cgi << 4) | sig_pos[i];
+      int r = rc.cscan[sp];
+      coef[(r >> log2) * stride + (r & (rc.n - 1))] =
+          (int16_t)(signs[i] ? -abs_lev : abs_lev);
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Frame-level syntax state shared by encoder/decoder walks.
+// ---------------------------------------------------------------------------
+
+struct FrameMaps {
+  int pic_w, pic_h, ctb_log2;
+  int u8_w, u8_h, u4_w, u4_h;
+  uint8_t *depth8, *part8, *mode4, *cmode8, *cbf4_y, *cbf8_cb, *cbf8_cr;
+  int16_t *coef_y, *coef_cb, *coef_cr;
+  int stride_y, stride_c;
+
+  int cu_depth_at(int x, int y) const { return depth8[(y >> 3) * u8_w + (x >> 3)]; }
+  int luma_mode_at(int x, int y) const { return mode4[(y >> 2) * u4_w + (x >> 2)]; }
+};
+
+// MPM construction (H.265 8.4.2). Above outside current CTB row -> DC.
+static void build_mpm(const FrameMaps& m, int x, int y, int mpm[3]) {
+  int cand_a = 1, cand_b = 1;  // DC default
+  if (x > 0) cand_a = m.luma_mode_at(x - 1, y);
+  if (y > 0 && ((y - 1) >> m.ctb_log2) == (y >> m.ctb_log2))
+    cand_b = m.luma_mode_at(x, y - 1);
+  if (cand_a == cand_b) {
+    if (cand_a < 2) {
+      mpm[0] = 0; mpm[1] = 1; mpm[2] = 26;
+    } else {
+      mpm[0] = cand_a;
+      mpm[1] = 2 + ((cand_a + 29) % 32);
+      mpm[2] = 2 + ((cand_a - 2 + 1) % 32);
+    }
+  } else {
+    mpm[0] = cand_a;
+    mpm[1] = cand_b;
+    if (cand_a != 0 && cand_b != 0) mpm[2] = 0;
+    else mpm[2] = (cand_a + cand_b < 2) ? 26 : 1;
+  }
+}
+
+// chroma candidate list (H.265 8.4.3): [planar, ver, hor, dc], luma-dup -> 34
+static void chroma_cand_list(int luma_mode, int list[4]) {
+  list[0] = 0; list[1] = 26; list[2] = 10; list[3] = 1;
+  for (int i = 0; i < 4; i++)
+    if (list[i] == luma_mode) { list[i] = 34; break; }
+}
+
+// ===========================================================================
+// ENCODER walk
+// ===========================================================================
+
+struct SliceEncoder {
+  FrameMaps m;
+  CabacEnc e;
+  uint8_t* ctx;
+
+  int cbf_cb_area(int x, int y, int size) const {
+    for (int yy = y; yy < y + size && yy < m.pic_h; yy += 8)
+      for (int xx = x; xx < x + size && xx < m.pic_w; xx += 8)
+        if (m.cbf8_cb[(yy >> 3) * m.u8_w + (xx >> 3)]) return 1;
+    return 0;
+  }
+  int cbf_cr_area(int x, int y, int size) const {
+    for (int yy = y; yy < y + size && yy < m.pic_h; yy += 8)
+      for (int xx = x; xx < x + size && xx < m.pic_w; xx += 8)
+        if (m.cbf8_cr[(yy >> 3) * m.u8_w + (xx >> 3)]) return 1;
+    return 0;
+  }
+  int cbf_y_area(int x, int y, int size) const {
+    for (int yy = y; yy < y + size && yy < m.pic_h; yy += 4)
+      for (int xx = x; xx < x + size && xx < m.pic_w; xx += 4)
+        if (m.cbf4_y[(yy >> 2) * m.u4_w + (xx >> 2)]) return 1;
+    return 0;
+  }
+
+  void residual_luma(int x, int y, int log2) {
+    encode_residual(e, ctx, m.coef_y + (int64_t)y * m.stride_y + x, m.stride_y,
+                    log2, 0, m.luma_mode_at(x, y));
+  }
+  void residual_chroma(int x, int y, int log2c, int c_idx) {
+    // x,y luma coords of the chroma TU origin (times two of chroma coords)
+    int cmode = m.cmode8[(y >> 3) * m.u8_w + (x >> 3)];
+    if (cmode == 36) cmode = m.luma_mode_at(x, y);
+    int16_t* plane = c_idx == 1 ? m.coef_cb : m.coef_cr;
+    encode_residual(e, ctx,
+                    plane + (int64_t)(y >> 1) * m.stride_c + (x >> 1),
+                    m.stride_c, log2c, c_idx, cmode);
+  }
+
+  // returns nothing; maps fully describe the tree
+  void transform_tree(int x, int y, int log2, int td, bool intra_split,
+                      int parent_cb, int parent_cr, int blk_idx,
+                      int xbase, int ybase) {
+    int size = 1 << log2;
+    int max_td = intra_split ? 1 : 0;
+    bool split;
+    if (log2 > 5) split = true;
+    else if (intra_split && td == 0) split = true;
+    else if (log2 == 2) split = false;
+    else if (td >= max_td) split = false;
+    else split = false;  // (no optional RQT in this configuration)
+
+    int cbf_cb = parent_cb, cbf_cr = parent_cr;
+    if (log2 > 2) {
+      cbf_cb = cbf_cb_area(x, y, size);
+      cbf_cr = cbf_cr_area(x, y, size);
+      if (td == 0 || parent_cb)
+        e.bin(ctx, CTX_QT_CBF_CHROMA + td, cbf_cb);
+      else cbf_cb = 0;
+      if (td == 0 || parent_cr)
+        e.bin(ctx, CTX_QT_CBF_CHROMA + td, cbf_cr);
+      else cbf_cr = 0;
+    }
+
+    if (split) {
+      int h = size >> 1;
+      transform_tree(x, y, log2 - 1, td + 1, intra_split, cbf_cb, cbf_cr, 0, x, y);
+      transform_tree(x + h, y, log2 - 1, td + 1, intra_split, cbf_cb, cbf_cr, 1, x, y);
+      transform_tree(x, y + h, log2 - 1, td + 1, intra_split, cbf_cb, cbf_cr, 2, x, y);
+      transform_tree(x + h, y + h, log2 - 1, td + 1, intra_split, cbf_cb, cbf_cr, 3, x, y);
+      return;
+    }
+
+    int cbf_luma = cbf_y_area(x, y, size);
+    e.bin(ctx, CTX_QT_CBF_LUMA + (td == 0 ? 1 : 0), cbf_luma);
+    if (cbf_luma) residual_luma(x, y, log2);
+    if (log2 > 2) {
+      if (cbf_cb) residual_chroma(x, y, log2 - 1, 1);
+      if (cbf_cr) residual_chroma(x, y, log2 - 1, 2);
+    } else if (blk_idx == 3) {
+      if (parent_cb) residual_chroma(xbase, ybase, 2, 1);
+      if (parent_cr) residual_chroma(xbase, ybase, 2, 2);
+    }
+  }
+
+  void code_cu(int x, int y, int log2) {
+    int part_nxn = 0;
+    if (log2 == 3) {  // min CU: part_mode present
+      part_nxn = m.part8[(y >> 3) * m.u8_w + (x >> 3)] == 3;
+      e.bin(ctx, CTX_PART_SIZE, !part_nxn);
+    }
+    int n_pu = part_nxn ? 4 : 1, pu_size = part_nxn ? (1 << (log2 - 1)) : (1 << log2);
+    int modes[4], mpms[4][3], in_mpm[4], mpm_idx[4];
+    for (int i = 0; i < n_pu; i++) {
+      int px = x + (i & 1) * pu_size, py = y + (i >> 1) * pu_size;
+      modes[i] = m.luma_mode_at(px, py);
+      build_mpm(m, px, py, mpms[i]);
+      in_mpm[i] = 0;
+      for (int k = 0; k < 3; k++)
+        if (mpms[i][k] == modes[i]) { in_mpm[i] = 1; mpm_idx[i] = k; }
+      e.bin(ctx, CTX_INTRA_MODE, in_mpm[i]);
+    }
+    for (int i = 0; i < n_pu; i++) {
+      if (in_mpm[i]) {
+        e.bypass(mpm_idx[i] > 0);
+        if (mpm_idx[i] > 0) e.bypass(mpm_idx[i] - 1);
+      } else {
+        // sort mpm descending, subtract
+        int a = mpms[i][0], b = mpms[i][1], c = mpms[i][2], t;
+        if (a > b) { t = a; a = b; b = t; }
+        if (a > c) { t = a; a = c; c = t; }
+        if (b > c) { t = b; b = c; c = t; }
+        int rem = modes[i];
+        if (rem > c) rem--;
+        if (rem > b) rem--;
+        if (rem > a) rem--;
+        e.bypass_bins(rem, 5);
+      }
+    }
+    // chroma mode (single PU for 4:2:0)
+    int cmode = m.cmode8[(y >> 3) * m.u8_w + (x >> 3)];
+    if (cmode == 36) {
+      e.bin(ctx, CTX_CHROMA_MODE, 0);
+    } else {
+      int list[4];
+      chroma_cand_list(modes[0], list);
+      int idx = 0;
+      for (int k = 0; k < 4; k++)
+        if (list[k] == cmode) idx = k;
+      e.bin(ctx, CTX_CHROMA_MODE, 1);
+      e.bypass_bins(idx, 2);
+    }
+    transform_tree(x, y, log2, 0, part_nxn, 0, 0, 0, x, y);
+  }
+
+  void quad(int x, int y, int log2) {
+    int size = 1 << log2;
+    bool inside = (x + size <= m.pic_w) && (y + size <= m.pic_h);
+    int depth_here = m.cu_depth_at(x, y);
+    int my_depth = m.ctb_log2 - log2;
+    if (inside && log2 > 3) {
+      // split_cu_flag with neighbor-depth context
+      int ctx_inc = 0;
+      if (x > 0 && m.cu_depth_at(x - 1, y) > my_depth) ctx_inc++;
+      if (y > 0 && m.cu_depth_at(x, y - 1) > my_depth) ctx_inc++;
+      e.bin(ctx, CTX_SPLIT_FLAG + ctx_inc, depth_here > my_depth);
+    }
+    bool split = inside ? (depth_here > my_depth) : (log2 > 3);
+    if (split) {
+      int h = size >> 1;
+      if (x < m.pic_w && y < m.pic_h) quad(x, y, log2 - 1);
+      if (x + h < m.pic_w && y < m.pic_h) quad(x + h, y, log2 - 1);
+      if (x < m.pic_w && y + h < m.pic_h) quad(x, y + h, log2 - 1);
+      if (x + h < m.pic_w && y + h < m.pic_h) quad(x + h, y + h, log2 - 1);
+    } else if (inside || (x < m.pic_w && y < m.pic_h)) {
+      code_cu(x, y, log2);
+    }
+  }
+
+  int64_t run(std::vector<uint8_t>* out) {
+    e.out = out;
+    int ctb = 1 << m.ctb_log2;
+    int n_ctu_x = (m.pic_w + ctb - 1) >> m.ctb_log2;
+    int n_ctu_y = (m.pic_h + ctb - 1) >> m.ctb_log2;
+    for (int cy = 0; cy < n_ctu_y; cy++)
+      for (int cx = 0; cx < n_ctu_x; cx++) {
+        quad(cx << m.ctb_log2, cy << m.ctb_log2, m.ctb_log2);
+        bool last = (cy == n_ctu_y - 1) && (cx == n_ctu_x - 1);
+        e.terminate(last);
+        if (last) {
+          e.finish();
+          e.byte_align_with_stop_bit();
+        }
+      }
+    return (int64_t)out->size();
+  }
+};
+
+// ===========================================================================
+// DECODER walk
+// ===========================================================================
+
+struct SliceDecoder {
+  FrameMaps m;
+  CabacDec d;
+  uint8_t* ctx;
+
+  void set_depth(int x, int y, int size, uint8_t depth) {
+    for (int yy = y; yy < y + size && yy < m.pic_h; yy += 8)
+      for (int xx = x; xx < x + size && xx < m.pic_w; xx += 8)
+        m.depth8[(yy >> 3) * m.u8_w + (xx >> 3)] = depth;
+  }
+  void set_mode(int x, int y, int size, uint8_t mode) {
+    for (int yy = y; yy < y + size && yy < m.pic_h; yy += 4)
+      for (int xx = x; xx < x + size && xx < m.pic_w; xx += 4)
+        m.mode4[(yy >> 2) * m.u4_w + (xx >> 2)] = mode;
+  }
+  void set_cbf_y(int x, int y, int size, uint8_t v) {
+    for (int yy = y; yy < y + size && yy < m.pic_h; yy += 4)
+      for (int xx = x; xx < x + size && xx < m.pic_w; xx += 4)
+        m.cbf4_y[(yy >> 2) * m.u4_w + (xx >> 2)] = v;
+  }
+  void set_cbf_c(uint8_t* map8, int x, int y, int size, uint8_t v) {
+    for (int yy = y; yy < y + size && yy < m.pic_h; yy += 8)
+      for (int xx = x; xx < x + size && xx < m.pic_w; xx += 8)
+        map8[(yy >> 3) * m.u8_w + (xx >> 3)] = v;
+  }
+
+  void residual_luma(int x, int y, int log2) {
+    decode_residual(d, ctx, m.coef_y + (int64_t)y * m.stride_y + x, m.stride_y,
+                    log2, 0, m.luma_mode_at(x, y));
+  }
+  void residual_chroma(int x, int y, int log2c, int c_idx) {
+    int cmode = m.cmode8[(y >> 3) * m.u8_w + (x >> 3)];
+    if (cmode == 36) cmode = m.luma_mode_at(x, y);
+    int16_t* plane = c_idx == 1 ? m.coef_cb : m.coef_cr;
+    decode_residual(d, ctx,
+                    plane + (int64_t)(y >> 1) * m.stride_c + (x >> 1),
+                    m.stride_c, log2c, c_idx, cmode);
+  }
+
+  void transform_tree(int x, int y, int log2, int td, bool intra_split,
+                      int parent_cb, int parent_cr, int blk_idx,
+                      int xbase, int ybase) {
+    int size = 1 << log2;
+    int max_td = intra_split ? 1 : 0;
+    bool split;
+    if (log2 > 5) split = true;
+    else if (intra_split && td == 0) split = true;
+    else if (log2 == 2) split = false;
+    else if (td >= max_td) split = false;
+    else split = false;
+
+    int cbf_cb = parent_cb, cbf_cr = parent_cr;
+    if (log2 > 2) {
+      if (td == 0 || parent_cb) cbf_cb = d.bin(ctx, CTX_QT_CBF_CHROMA + td);
+      else cbf_cb = 0;
+      if (td == 0 || parent_cr) cbf_cr = d.bin(ctx, CTX_QT_CBF_CHROMA + td);
+      else cbf_cr = 0;
+    }
+
+    if (split) {
+      int h = size >> 1;
+      transform_tree(x, y, log2 - 1, td + 1, intra_split, cbf_cb, cbf_cr, 0, x, y);
+      transform_tree(x + h, y, log2 - 1, td + 1, intra_split, cbf_cb, cbf_cr, 1, x, y);
+      transform_tree(x, y + h, log2 - 1, td + 1, intra_split, cbf_cb, cbf_cr, 2, x, y);
+      transform_tree(x + h, y + h, log2 - 1, td + 1, intra_split, cbf_cb, cbf_cr, 3, x, y);
+      return;
+    }
+
+    int cbf_luma = d.bin(ctx, CTX_QT_CBF_LUMA + (td == 0 ? 1 : 0));
+    set_cbf_y(x, y, size, (uint8_t)cbf_luma);
+    if (cbf_luma) residual_luma(x, y, log2);
+    if (log2 > 2) {
+      set_cbf_c(m.cbf8_cb, x, y, size, (uint8_t)cbf_cb);
+      set_cbf_c(m.cbf8_cr, x, y, size, (uint8_t)cbf_cr);
+      if (cbf_cb) residual_chroma(x, y, log2 - 1, 1);
+      if (cbf_cr) residual_chroma(x, y, log2 - 1, 2);
+    } else if (blk_idx == 3) {
+      set_cbf_c(m.cbf8_cb, xbase, ybase, size * 2, (uint8_t)parent_cb);
+      set_cbf_c(m.cbf8_cr, xbase, ybase, size * 2, (uint8_t)parent_cr);
+      if (parent_cb) residual_chroma(xbase, ybase, 2, 1);
+      if (parent_cr) residual_chroma(xbase, ybase, 2, 2);
+    }
+  }
+
+  void code_cu(int x, int y, int log2) {
+    int part_nxn = 0;
+    if (log2 == 3) {
+      part_nxn = !d.bin(ctx, CTX_PART_SIZE);
+      m.part8[(y >> 3) * m.u8_w + (x >> 3)] = part_nxn ? 3 : 0;
+    }
+    int n_pu = part_nxn ? 4 : 1, pu_size = part_nxn ? (1 << (log2 - 1)) : (1 << log2);
+    int prev_flag[4];
+    for (int i = 0; i < n_pu; i++) prev_flag[i] = d.bin(ctx, CTX_INTRA_MODE);
+    int modes[4];
+    for (int i = 0; i < n_pu; i++) {
+      int px = x + (i & 1) * pu_size, py = y + (i >> 1) * pu_size;
+      int mpm[3];
+      build_mpm(m, px, py, mpm);
+      if (prev_flag[i]) {
+        int idx = d.bypass();
+        if (idx) idx += d.bypass();
+        modes[i] = mpm[idx];
+      } else {
+        int rem = (int)d.bypass_bins(5);
+        int a = mpm[0], b = mpm[1], c = mpm[2], t;
+        if (a > b) { t = a; a = b; b = t; }
+        if (a > c) { t = a; a = c; c = t; }
+        if (b > c) { t = b; b = c; c = t; }
+        if (rem >= a) rem++;
+        if (rem >= b) rem++;
+        if (rem >= c) rem++;
+        modes[i] = rem;
+      }
+      set_mode(px, py, pu_size, (uint8_t)modes[i]);
+    }
+    int cmode;
+    if (d.bin(ctx, CTX_CHROMA_MODE) == 0) {
+      cmode = 36;  // DM marker
+    } else {
+      int idx = (int)d.bypass_bins(2);
+      int list[4];
+      chroma_cand_list(modes[0], list);
+      cmode = list[idx];
+    }
+    for (int yy = y; yy < y + (1 << log2) && yy < m.pic_h; yy += 8)
+      for (int xx = x; xx < x + (1 << log2) && xx < m.pic_w; xx += 8)
+        m.cmode8[(yy >> 3) * m.u8_w + (xx >> 3)] = (uint8_t)cmode;
+    transform_tree(x, y, log2, 0, part_nxn, 0, 0, 0, x, y);
+  }
+
+  void quad(int x, int y, int log2) {
+    int size = 1 << log2;
+    bool inside = (x + size <= m.pic_w) && (y + size <= m.pic_h);
+    int my_depth = m.ctb_log2 - log2;
+    bool split;
+    if (inside && log2 > 3) {
+      int ctx_inc = 0;
+      if (x > 0 && m.cu_depth_at(x - 1, y) > my_depth) ctx_inc++;
+      if (y > 0 && m.cu_depth_at(x, y - 1) > my_depth) ctx_inc++;
+      split = d.bin(ctx, CTX_SPLIT_FLAG + ctx_inc);
+    } else {
+      split = inside ? false : (log2 > 3);
+    }
+    if (split) {
+      int h = size >> 1;
+      if (x < m.pic_w && y < m.pic_h) quad(x, y, log2 - 1);
+      if (x + h < m.pic_w && y < m.pic_h) quad(x + h, y, log2 - 1);
+      if (x < m.pic_w && y + h < m.pic_h) quad(x, y + h, log2 - 1);
+      if (x + h < m.pic_w && y + h < m.pic_h) quad(x + h, y + h, log2 - 1);
+    } else if (inside || (x < m.pic_w && y < m.pic_h)) {
+      set_depth(x, y, size, (uint8_t)my_depth);
+      code_cu(x, y, log2);
+    }
+  }
+
+  int64_t run() {
+    d.start();
+    int ctb = 1 << m.ctb_log2;
+    int n_ctu_x = (m.pic_w + ctb - 1) >> m.ctb_log2;
+    int n_ctu_y = (m.pic_h + ctb - 1) >> m.ctb_log2;
+    for (int cy = 0; cy < n_ctu_y; cy++)
+      for (int cx = 0; cx < n_ctu_x; cx++) {
+        quad(cx << m.ctb_log2, cy << m.ctb_log2, m.ctb_log2);
+        int end = d.terminate();
+        bool last = (cy == n_ctu_y - 1) && (cx == n_ctu_x - 1);
+        if (end != (last ? 1 : 0)) return -1;  // stream desync
+      }
+    return d.pos;
+  }
+};
+
+static void fill_maps(FrameMaps& m, int pic_w, int pic_h, int ctb_log2,
+                      uint8_t* depth8, uint8_t* part8, uint8_t* mode4,
+                      uint8_t* cmode8, uint8_t* cbf4_y, uint8_t* cbf8_cb,
+                      uint8_t* cbf8_cr, int16_t* coef_y, int16_t* coef_cb,
+                      int16_t* coef_cr) {
+  m.pic_w = pic_w;
+  m.pic_h = pic_h;
+  m.ctb_log2 = ctb_log2;
+  m.u8_w = pic_w >> 3;
+  m.u8_h = pic_h >> 3;
+  m.u4_w = pic_w >> 2;
+  m.u4_h = pic_h >> 2;
+  m.depth8 = depth8;
+  m.part8 = part8;
+  m.mode4 = mode4;
+  m.cmode8 = cmode8;
+  m.cbf4_y = cbf4_y;
+  m.cbf8_cb = cbf8_cb;
+  m.cbf8_cr = cbf8_cr;
+  m.coef_y = coef_y;
+  m.coef_cb = coef_cb;
+  m.coef_cr = coef_cr;
+  m.stride_y = pic_w;
+  m.stride_c = pic_w >> 1;
+}
+
+}  // namespace
+
+// ===========================================================================
+// C API
+// ===========================================================================
+
+extern "C" {
+
+int hevc_num_ctx(void) { return NUM_CTX; }
+
+int64_t hevc_encode_slice_data(
+    const uint8_t* ctx_states, int pic_w, int pic_h, int ctb_log2,
+    const uint8_t* depth8, const uint8_t* part8, const uint8_t* mode4,
+    const uint8_t* cmode8, const uint8_t* cbf4_y, const uint8_t* cbf8_cb,
+    const uint8_t* cbf8_cr, const int16_t* coef_y, const int16_t* coef_cb,
+    const int16_t* coef_cr, uint8_t* out, int64_t cap) {
+  SliceEncoder se;
+  fill_maps(se.m, pic_w, pic_h, ctb_log2, (uint8_t*)depth8, (uint8_t*)part8,
+            (uint8_t*)mode4, (uint8_t*)cmode8, (uint8_t*)cbf4_y,
+            (uint8_t*)cbf8_cb, (uint8_t*)cbf8_cr, (int16_t*)coef_y,
+            (int16_t*)coef_cb, (int16_t*)coef_cr);
+  std::vector<uint8_t> ctx(ctx_states, ctx_states + NUM_CTX);
+  se.ctx = ctx.data();
+  std::vector<uint8_t> buf;
+  int64_t n = se.run(&buf);
+  if (n > cap) return -1;
+  memcpy(out, buf.data(), (size_t)n);
+  return n;
+}
+
+int64_t hevc_decode_slice_data(
+    const uint8_t* ctx_states, int pic_w, int pic_h, int ctb_log2,
+    const uint8_t* data, int64_t size, uint8_t* depth8, uint8_t* part8,
+    uint8_t* mode4, uint8_t* cmode8, uint8_t* cbf4_y, uint8_t* cbf8_cb,
+    uint8_t* cbf8_cr, int16_t* coef_y, int16_t* coef_cb, int16_t* coef_cr) {
+  SliceDecoder sd;
+  fill_maps(sd.m, pic_w, pic_h, ctb_log2, depth8, part8, mode4, cmode8,
+            cbf4_y, cbf8_cb, cbf8_cr, coef_y, coef_cb, coef_cr);
+  std::vector<uint8_t> ctx(ctx_states, ctx_states + NUM_CTX);
+  sd.ctx = ctx.data();
+  sd.d.data = data;
+  sd.d.size = size;
+  return sd.run();
+}
+
+// Generic op-stream interface for engine-level differential tests.
+// ops: 0=ctx bin (a=ctx idx, b=bin), 1=bypass (b), 2=bypass bins (a=n, b=val)
+int64_t cabac_encode_ops(const uint8_t* init_states, int nctx,
+                         const int32_t* ops, const int32_t* a,
+                         const int32_t* b, int n, uint8_t* out, int64_t cap) {
+  std::vector<uint8_t> ctx(init_states, init_states + nctx);
+  std::vector<uint8_t> buf;
+  CabacEnc e;
+  e.out = &buf;
+  for (int i = 0; i < n; i++) {
+    if (ops[i] == 0) e.bin(ctx.data(), a[i], b[i]);
+    else if (ops[i] == 1) e.bypass(b[i]);
+    else e.bypass_bins((uint32_t)b[i], a[i]);
+  }
+  e.terminate(1);
+  e.finish();
+  e.byte_align_with_stop_bit();
+  if ((int64_t)buf.size() > cap) return -1;
+  memcpy(out, buf.data(), buf.size());
+  return (int64_t)buf.size();
+}
+
+int64_t cabac_decode_ops(const uint8_t* init_states, int nctx,
+                         const int32_t* ops, const int32_t* a, int32_t* vals,
+                         int n, const uint8_t* data, int64_t size) {
+  std::vector<uint8_t> ctx(init_states, init_states + nctx);
+  CabacDec d;
+  d.data = data;
+  d.size = size;
+  d.start();
+  for (int i = 0; i < n; i++) {
+    if (ops[i] == 0) vals[i] = d.bin(ctx.data(), a[i]);
+    else if (ops[i] == 1) vals[i] = d.bypass();
+    else vals[i] = (int32_t)d.bypass_bins(a[i]);
+  }
+  return d.terminate();
+}
+
+// Standalone residual-coding round trip hooks for fuzz tests.
+int64_t residual_encode_one(const uint8_t* init_states, const int16_t* coef,
+                            int log2, int c_idx, int intra_mode, uint8_t* out,
+                            int64_t cap) {
+  std::vector<uint8_t> ctx(init_states, init_states + NUM_CTX);
+  std::vector<uint8_t> buf;
+  CabacEnc e;
+  e.out = &buf;
+  encode_residual(e, ctx.data(), coef, 1 << log2, log2, c_idx, intra_mode);
+  e.terminate(1);
+  e.finish();
+  e.byte_align_with_stop_bit();
+  if ((int64_t)buf.size() > cap) return -1;
+  memcpy(out, buf.data(), buf.size());
+  return (int64_t)buf.size();
+}
+
+int64_t residual_decode_one(const uint8_t* init_states, int16_t* coef,
+                            int log2, int c_idx, int intra_mode,
+                            const uint8_t* data, int64_t size) {
+  std::vector<uint8_t> ctx(init_states, init_states + NUM_CTX);
+  CabacDec d;
+  d.data = data;
+  d.size = size;
+  d.start();
+  decode_residual(d, ctx.data(), coef, 1 << log2, log2, c_idx, intra_mode);
+  return d.terminate();
+}
+
+}  // extern "C"
