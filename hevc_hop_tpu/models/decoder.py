@@ -1,0 +1,132 @@
+"""HEVC decoder pipeline (round-1 scope: all-intra Main).
+
+Capability ref: TDecTop.cpp:844 decode dispatch, TDecSlice/TDecCu recon.
+Structure: native C++ parses the whole slice into dense maps; residuals are
+dequantized + inverse-transformed densely (batched by TU size, one XLA call
+per size); only prediction+add runs in the sequential wavefront.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from hevc_hop_tpu.bitstream import nal, params
+from hevc_hop_tpu.common import rom
+from hevc_hop_tpu.common.types import NalUnitType, SliceType
+from hevc_hop_tpu.entropy import ctx_layout, native
+from hevc_hop_tpu.io import yuv as yuvio
+from hevc_hop_tpu.ops import quant, transform
+from hevc_hop_tpu.models import wavefront
+
+
+def _dense_residual(coef_plane: np.ndarray, leaves, qp: int, bit_depth: int,
+                    chroma: bool) -> np.ndarray:
+    """Dequant + inverse transform all TUs, batched per size."""
+    out = np.zeros_like(coef_plane, dtype=np.int32)
+    by_size = {}
+    for (x, y, log2) in leaves:
+        if chroma:
+            x, y, log2 = x // 2, y // 2, log2 - 1
+        by_size.setdefault(log2, []).append((x, y))
+    for log2, positions in by_size.items():
+        n = 1 << log2
+        blocks = np.stack([coef_plane[y:y + n, x:x + n]
+                           for (x, y) in positions]).astype(np.int32)
+        deq = quant.dequant(jnp.asarray(blocks), qp, log2, bit_depth)
+        resi = np.asarray(transform.inv_transform(deq, bit_depth,
+                                                  use_dst=False))
+        for i, (x, y) in enumerate(positions):
+            out[y:y + n, x:x + n] = resi[i]
+    return out
+
+
+class Decoder:
+    def __init__(self) -> None:
+        self.sps = None
+        self.pps = None
+        self.vps = None
+        self.pictures = []
+
+    def decode_stream(self, stream: bytes) -> list:
+        """Decode an AnnexB stream; returns list of (y, cb, cr) frames."""
+        for (nal_type, rbsp) in nal.annexb_split(stream):
+            if nal_type == NalUnitType.VPS_NUT:
+                self.vps = params.parse_vps(rbsp)
+            elif nal_type == NalUnitType.SPS_NUT:
+                self.sps = params.parse_sps(rbsp)
+            elif nal_type == NalUnitType.PPS_NUT:
+                self.pps = params.parse_pps(rbsp)
+            elif nal_type in (NalUnitType.IDR_W_RADL, NalUnitType.IDR_N_LP,
+                              NalUnitType.CRA_NUT, NalUnitType.TRAIL_R):
+                self._decode_slice(rbsp, nal_type)
+        return self.pictures
+
+    def _decode_slice(self, rbsp: bytes, nal_type: int) -> None:
+        sps, pps = self.sps, self.pps
+        holo = bool(self.vps and self.vps.holo)
+        sh = params.parse_slice_header(rbsp, sps, pps, nal_type, holo)
+        assert sh.slice_type in (SliceType.I, SliceType.ISS), \
+            "inter slices TODO"
+        w, h, bd = sps.pic_width, sps.pic_height, sps.bit_depth
+        qp = sh.slice_qp
+        states = ctx_layout.init_states(int(sh.slice_type)
+                                        if sh.slice_type <= 4 else 2, qp)
+        maps = native.decode_slice_data(states, rbsp[sh.data_offset:],
+                                        w, h, sps.ctb_log2)
+
+        leaves = wavefront.leaves_from_depth(maps.depth8, w, h, sps.ctb_log2)
+        zplane = wavefront.zaddr4_plane(w, h, sps.ctb_log2)
+        sched = wavefront.Schedule(leaves, w, h, sps.ctb_log2, zplane)
+
+        qp_c = rom.chroma_qp_from_luma(qp)
+        resi_y = _dense_residual(maps.coef_y, leaves, qp, bd, False)
+        resi_cb = _dense_residual(maps.coef_cb, leaves, qp_c, bd, True)
+        resi_cr = _dense_residual(maps.coef_cr, leaves, qp_c, bd, True)
+
+        pad = 1 << sps.ctb_log2
+        ry = jnp.zeros((h + pad, w), jnp.int32)
+        rpy = jnp.zeros((h + pad, w), jnp.int32).at[:h].set(
+            jnp.asarray(resi_y))
+        rc = [jnp.zeros((h // 2 + pad, w // 2), jnp.int32) for _ in range(2)]
+        rpc = []
+        for resi in (resi_cb, resi_cr):
+            p = jnp.zeros((h // 2 + pad, w // 2), jnp.int32)
+            rpc.append(p.at[:h // 2].set(jnp.asarray(resi)))
+
+        strong = sps.strong_intra_smoothing
+        for (n, pos, avail_l, avail_c) in sched.steps:
+            b = pos.shape[0]
+            bb = wavefront._bucket(b)
+            posp = wavefront._pad(pos, bb)
+            if bb != b:
+                posp[b:] = (0, h)
+            avl = wavefront._pad(avail_l, bb)
+            modes = np.zeros(bb, np.int32)
+            for i, (x0, y0) in enumerate(pos):
+                modes[i] = maps.mode4[y0 // 4, x0 // 4]
+            ry = wavefront.decode_step(
+                ry, rpy, jnp.asarray(posp, jnp.int32), jnp.asarray(avl),
+                jnp.asarray(modes), n=n, c_idx=0, bit_depth=bd, strong=strong)
+            nc = n // 2
+            posc = posp // 2
+            if bb != b:
+                posc[b:] = (0, h // 2)
+            avc = wavefront._pad(avail_c, bb)
+            # chroma mode: DM -> luma mode of CU
+            cmodes = np.zeros(bb, np.int32)
+            for i, (x0, y0) in enumerate(pos):
+                cm = maps.cmode8[y0 // 8, x0 // 8]
+                cmodes[i] = maps.mode4[y0 // 4, x0 // 4] if cm == 36 else cm
+            for ci in range(2):
+                rc[ci] = wavefront.decode_step(
+                    rc[ci], rpc[ci], jnp.asarray(posc, jnp.int32),
+                    jnp.asarray(avc), jnp.asarray(cmodes),
+                    n=nc, c_idx=ci + 1, bit_depth=bd, strong=strong)
+
+        self.pictures.append((np.asarray(ry[:h], np.int32),
+                              np.asarray(rc[0][:h // 2], np.int32),
+                              np.asarray(rc[1][:h // 2], np.int32)))
+
+    def picture_md5(self, idx: int = -1) -> bytes:
+        y, cb, cr = self.pictures[idx]
+        return yuvio.picture_md5(y, cb, cr, self.sps.bit_depth)
