@@ -2,8 +2,9 @@
 
 Capability ref: TDecTop.cpp:844 decode dispatch, TDecSlice/TDecCu recon.
 Structure: native C++ parses the whole slice into dense maps; residuals are
-dequantized + inverse-transformed densely (batched by TU size, one XLA call
-per size); only prediction+add runs in the sequential wavefront.
+dequantized + inverse-transformed densely (one batched XLA call per TU
+size); prediction runs as a single lax.scan wavefront program when the CU
+grid is uniform, falling back to per-step dispatch for mixed quadtrees.
 """
 from __future__ import annotations
 
@@ -16,7 +17,7 @@ from hevc_hop_tpu.common.types import NalUnitType, SliceType
 from hevc_hop_tpu.entropy import ctx_layout, native
 from hevc_hop_tpu.io import yuv as yuvio
 from hevc_hop_tpu.ops import quant, transform
-from hevc_hop_tpu.models import wavefront
+from hevc_hop_tpu.models import wavefront, wavefront_scan
 
 
 def _dense_residual(coef_plane: np.ndarray, leaves, qp: int, bit_depth: int,
@@ -75,14 +76,56 @@ class Decoder:
                                         w, h, sps.ctb_log2)
 
         leaves = wavefront.leaves_from_depth(maps.depth8, w, h, sps.ctb_log2)
-        zplane = wavefront.zaddr4_plane(w, h, sps.ctb_log2)
-        sched = wavefront.Schedule(leaves, w, h, sps.ctb_log2, zplane)
-
         qp_c = rom.chroma_qp_from_luma(qp)
         resi_y = _dense_residual(maps.coef_y, leaves, qp, bd, False)
         resi_cb = _dense_residual(maps.coef_cb, leaves, qp_c, bd, True)
         resi_cr = _dense_residual(maps.coef_cr, leaves, qp_c, bd, True)
 
+        depths = {log2 for (_, _, log2) in leaves}
+        uniform = (len(depths) == 1 and
+                   np.all(maps.depth8 == sps.ctb_log2 - next(iter(depths))))
+        if uniform:
+            self._recon_scan(maps, leaves, resi_y, resi_cb, resi_cr)
+        else:
+            self._recon_steps(maps, leaves, resi_y, resi_cb, resi_cr)
+
+    def _recon_scan(self, maps, leaves, resi_y, resi_cb, resi_cr) -> None:
+        sps = self.sps
+        w, h, bd = sps.pic_width, sps.pic_height, sps.bit_depth
+        cu_log2 = leaves[0][2]
+        sched = wavefront_scan.build_uniform_schedule(
+            w, h, sps.ctb_log2, cu_log2)
+        n = sched["n"]
+        pos, valid = sched["pos"], sched["valid"]
+        px = np.where(valid, pos[..., 0], 0)
+        py = np.where(valid, pos[..., 1], 0)
+        modes = maps.mode4[py // 4, px // 4].astype(np.int32)
+        cm = maps.cmode8[py // 8, px // 8].astype(np.int32)
+        cmodes = np.where(cm == 36, modes, cm)
+        modes = np.where(valid, modes, 0)
+        cmodes = np.where(valid, cmodes, 0)
+
+        pad = 1 << sps.ctb_log2
+        rpy = jnp.zeros((h + pad, w), jnp.int32).at[:h].set(
+            jnp.asarray(resi_y))
+        rpcb = jnp.zeros((h // 2 + pad, w // 2), jnp.int32).at[:h // 2].set(
+            jnp.asarray(resi_cb))
+        rpcr = jnp.zeros((h // 2 + pad, w // 2), jnp.int32).at[:h // 2].set(
+            jnp.asarray(resi_cr))
+        ry, rcb, rcr = wavefront_scan.scan_decode(
+            rpy, rpcb, rpcr, jnp.asarray(pos), jnp.asarray(sched["avail"]),
+            jnp.asarray(sched["availc"]), jnp.asarray(modes),
+            jnp.asarray(cmodes), n=n, bit_depth=bd,
+            strong=sps.strong_intra_smoothing, h=h)
+        self.pictures.append((np.asarray(ry[:h], np.int32),
+                              np.asarray(rcb[:h // 2], np.int32),
+                              np.asarray(rcr[:h // 2], np.int32)))
+
+    def _recon_steps(self, maps, leaves, resi_y, resi_cb, resi_cr) -> None:
+        sps = self.sps
+        w, h, bd = sps.pic_width, sps.pic_height, sps.bit_depth
+        zplane = wavefront.zaddr4_plane(w, h, sps.ctb_log2)
+        sched = wavefront.Schedule(leaves, w, h, sps.ctb_log2, zplane)
         pad = 1 << sps.ctb_log2
         ry = jnp.zeros((h + pad, w), jnp.int32)
         rpy = jnp.zeros((h + pad, w), jnp.int32).at[:h].set(
@@ -112,7 +155,6 @@ class Decoder:
             if bb != b:
                 posc[b:] = (0, h // 2)
             avc = wavefront._pad(avail_c, bb)
-            # chroma mode: DM -> luma mode of CU
             cmodes = np.zeros(bb, np.int32)
             for i, (x0, y0) in enumerate(pos):
                 cm = maps.cmode8[y0 // 8, x0 // 8]

@@ -1,11 +1,18 @@
-"""Force tests onto a virtual 8-device CPU mesh (no TPU needed, hermetic)."""
+"""Force tests onto a virtual 8-device CPU mesh (no TPU needed, hermetic).
+
+Note: this environment's sitecustomize imports jax and selects the axon TPU
+backend at interpreter startup, so plain env vars are too late — we must
+override via jax.config before any backend is instantiated.
+"""
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8"
+                           ).strip()
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
