@@ -40,10 +40,12 @@ def get_lib() -> ctypes.CDLL:
     lib.hevc_num_ctx.restype = c
     lib.hevc_encode_slice_data.restype = c64
     lib.hevc_encode_slice_data.argtypes = [
-        u8, c, c, c, u8, u8, u8, u8, u8, u8, u8, i16, i16, i16, u8, c64]
+        u8, c, c, c, c, u8, u8, u8, u8, u8, u8, u8, u8, i16, i16, i16,
+        u8, c64]
     lib.hevc_decode_slice_data.restype = c64
     lib.hevc_decode_slice_data.argtypes = [
-        u8, c, c, c, u8, c64, u8, u8, u8, u8, u8, u8, u8, i16, i16, i16]
+        u8, c, c, c, c, u8, c64, u8, u8, u8, u8, u8, u8, u8, u8,
+        i16, i16, i16]
     lib.cabac_encode_ops.restype = c64
     lib.cabac_encode_ops.argtypes = [u8, c, i32, i32, i32, c, u8, c64]
     lib.cabac_decode_ops.restype = c64
@@ -52,21 +54,39 @@ def get_lib() -> ctypes.CDLL:
     lib.residual_encode_one.argtypes = [u8, i16, c, c, c, u8, c64]
     lib.residual_decode_one.restype = c64
     lib.residual_decode_one.argtypes = [u8, i16, c, c, c, u8, c64]
+    lib.wavefront_levels.restype = c64
+    lib.wavefront_levels.argtypes = [i32, i32, i32, c, c, c, c, i32]
     _lib = lib
     return lib
+
+
+def wavefront_levels(bx: np.ndarray, by: np.ndarray, blog2: np.ndarray,
+                     pic_w: int, pic_h: int, ctb_log2: int) -> np.ndarray:
+    """Topological wavefront level per transform block (z-order input)."""
+    lib = get_lib()
+    out = np.zeros(len(bx), np.int32)
+    lib.wavefront_levels(
+        np.ascontiguousarray(bx, np.int32),
+        np.ascontiguousarray(by, np.int32),
+        np.ascontiguousarray(blog2, np.int32),
+        len(bx), pic_w, pic_h, ctb_log2, out)
+    return out
 
 
 class SliceMaps:
     """Dense per-frame maps exchanged with the native slice codec."""
 
-    def __init__(self, pic_w: int, pic_h: int, ctb_log2: int = 5) -> None:
+    def __init__(self, pic_w: int, pic_h: int, ctb_log2: int = 5,
+                 max_hier_depth: int = 0) -> None:
         assert pic_w % 8 == 0 and pic_h % 8 == 0
         self.pic_w, self.pic_h, self.ctb_log2 = pic_w, pic_h, ctb_log2
+        self.max_hier_depth = max_hier_depth
         u8w, u8h = pic_w // 8, pic_h // 8
         u4w, u4h = pic_w // 4, pic_h // 4
         self.depth8 = np.zeros((u8h, u8w), np.uint8)
         self.part8 = np.zeros((u8h, u8w), np.uint8)
         self.mode4 = np.ones((u4h, u4w), np.uint8)
+        self.tu4 = np.full((u4h, u4w), 3, np.uint8)  # leaf TU log2
         self.cmode8 = np.full((u8h, u8w), 36, np.uint8)  # 36 = DM
         self.cbf4_y = np.zeros((u4h, u4w), np.uint8)
         self.cbf8_cb = np.zeros((u8h, u8w), np.uint8)
@@ -76,7 +96,7 @@ class SliceMaps:
         self.coef_cr = np.zeros((pic_h // 2, pic_w // 2), np.int16)
 
     def _args(self):
-        return (self.depth8, self.part8, self.mode4, self.cmode8,
+        return (self.depth8, self.part8, self.mode4, self.cmode8, self.tu4,
                 self.cbf4_y, self.cbf8_cb, self.cbf8_cr,
                 self.coef_y, self.coef_cb, self.coef_cr)
 
@@ -87,20 +107,22 @@ def encode_slice_data(ctx_states: np.ndarray, maps: SliceMaps) -> bytes:
     out = np.zeros(cap, np.uint8)
     n = lib.hevc_encode_slice_data(
         np.ascontiguousarray(ctx_states, np.uint8),
-        maps.pic_w, maps.pic_h, maps.ctb_log2, *maps._args(), out, cap)
+        maps.pic_w, maps.pic_h, maps.ctb_log2, maps.max_hier_depth,
+        *maps._args(), out, cap)
     if n < 0:
         raise RuntimeError("slice data overflow")
     return out[:n].tobytes()
 
 
 def decode_slice_data(ctx_states: np.ndarray, data: bytes,
-                      pic_w: int, pic_h: int, ctb_log2: int = 5) -> SliceMaps:
+                      pic_w: int, pic_h: int, ctb_log2: int = 5,
+                      max_hier_depth: int = 0) -> SliceMaps:
     lib = get_lib()
-    maps = SliceMaps(pic_w, pic_h, ctb_log2)
+    maps = SliceMaps(pic_w, pic_h, ctb_log2, max_hier_depth)
     buf = np.frombuffer(data, np.uint8)
     n = lib.hevc_decode_slice_data(
         np.ascontiguousarray(ctx_states, np.uint8), pic_w, pic_h, ctb_log2,
-        buf, len(data), *maps._args())
+        max_hier_depth, buf, len(data), *maps._args())
     if n < 0:
         raise RuntimeError("slice data desync")
     return maps

@@ -23,6 +23,19 @@ from hevc_hop_tpu.models import wavefront, wavefront_scan
 def _dense_residual(coef_plane: np.ndarray, leaves, qp: int, bit_depth: int,
                     chroma: bool) -> np.ndarray:
     """Dequant + inverse transform all TUs, batched per size."""
+    sizes = {log2 for (_, _, log2) in leaves}
+    if len(sizes) == 1:
+        # uniform fast path: reshape the whole plane into blocks
+        log2 = next(iter(sizes)) - (1 if chroma else 0)
+        n = 1 << log2
+        h, w = coef_plane.shape
+        blocks = coef_plane.astype(np.int32).reshape(
+            h // n, n, w // n, n).transpose(0, 2, 1, 3).reshape(-1, n, n)
+        deq = quant.dequant(jnp.asarray(blocks), qp, log2, bit_depth)
+        resi = np.asarray(transform.inv_transform(deq, bit_depth,
+                                                  use_dst=False))
+        return resi.reshape(h // n, w // n, n, n).transpose(
+            0, 2, 1, 3).reshape(h, w)
     out = np.zeros_like(coef_plane, dtype=np.int32)
     by_size = {}
     for (x, y, log2) in leaves:
@@ -72,38 +85,41 @@ class Decoder:
         qp = sh.slice_qp
         states = ctx_layout.init_states(int(sh.slice_type)
                                         if sh.slice_type <= 4 else 2, qp)
-        maps = native.decode_slice_data(states, rbsp[sh.data_offset:],
-                                        w, h, sps.ctb_log2)
+        maps = native.decode_slice_data(
+            states, rbsp[sh.data_offset:], w, h, sps.ctb_log2,
+            max_hier_depth=sps.max_transform_hierarchy_depth_intra)
 
-        leaves = wavefront.leaves_from_depth(maps.depth8, w, h, sps.ctb_log2)
+        # reconstruction structure = TRANSFORM blocks (prediction is per-TU)
+        leaves = wavefront.tu_blocks_from_maps(maps.depth8, maps.tu4,
+                                               w, h, sps.ctb_log2)
         qp_c = rom.chroma_qp_from_luma(qp)
         resi_y = _dense_residual(maps.coef_y, leaves, qp, bd, False)
         resi_cb = _dense_residual(maps.coef_cb, leaves, qp_c, bd, True)
         resi_cr = _dense_residual(maps.coef_cr, leaves, qp_c, bd, True)
 
-        depths = {log2 for (_, _, log2) in leaves}
-        uniform = (len(depths) == 1 and
-                   np.all(maps.depth8 == sps.ctb_log2 - next(iter(depths))))
-        if uniform:
-            self._recon_scan(maps, leaves, resi_y, resi_cb, resi_cr)
-        else:
-            self._recon_steps(maps, leaves, resi_y, resi_cb, resi_cr)
+        assert min(log2 for (_, _, log2) in leaves) >= 3, \
+            "4x4-TU (NxN) streams TODO"
+        self._recon(maps, leaves, resi_y, resi_cb, resi_cr)
 
-    def _recon_scan(self, maps, leaves, resi_y, resi_cb, resi_cr) -> None:
+    def _recon(self, maps, leaves, resi_y, resi_cb, resi_cr) -> None:
         sps = self.sps
         w, h, bd = sps.pic_width, sps.pic_height, sps.bit_depth
-        cu_log2 = leaves[0][2]
-        sched = wavefront_scan.build_uniform_schedule(
-            w, h, sps.ctb_log2, cu_log2)
-        n = sched["n"]
-        pos, valid = sched["pos"], sched["valid"]
-        px = np.where(valid, pos[..., 0], 0)
-        py = np.where(valid, pos[..., 1], 0)
-        modes = maps.mode4[py // 4, px // 4].astype(np.int32)
-        cm = maps.cmode8[py // 8, px // 8].astype(np.int32)
-        cmodes = np.where(cm == 36, modes, cm)
-        modes = np.where(valid, modes, 0)
-        cmodes = np.where(valid, cmodes, 0)
+        sizes, data, nsteps = wavefront_scan.build_schedule(
+            leaves, w, h, sps.ctb_log2)
+        xs = {}
+        for log2 in sizes:
+            d = data[log2]
+            pos, valid = d["pos"], d["valid"]
+            px = np.where(valid, pos[..., 0], 0)
+            py = np.where(valid, pos[..., 1], 0)
+            modes = maps.mode4[py // 4, px // 4].astype(np.int32)
+            cm = maps.cmode8[py // 8, px // 8].astype(np.int32)
+            cmodes = np.where(cm == 36, modes, cm)
+            modes = np.where(valid, modes, 0)
+            cmodes = np.where(valid, cmodes, 0)
+            xs[log2] = (jnp.asarray(pos), jnp.asarray(d["avail"]),
+                        jnp.asarray(d["availc"]), jnp.asarray(modes),
+                        jnp.asarray(cmodes))
 
         pad = 1 << sps.ctb_log2
         rpy = jnp.zeros((h + pad, w), jnp.int32).at[:h].set(
@@ -113,61 +129,11 @@ class Decoder:
         rpcr = jnp.zeros((h // 2 + pad, w // 2), jnp.int32).at[:h // 2].set(
             jnp.asarray(resi_cr))
         ry, rcb, rcr = wavefront_scan.scan_decode(
-            rpy, rpcb, rpcr, jnp.asarray(pos), jnp.asarray(sched["avail"]),
-            jnp.asarray(sched["availc"]), jnp.asarray(modes),
-            jnp.asarray(cmodes), n=n, bit_depth=bd,
+            rpy, rpcb, rpcr, xs, sizes=sizes, bit_depth=bd,
             strong=sps.strong_intra_smoothing, h=h)
         self.pictures.append((np.asarray(ry[:h], np.int32),
                               np.asarray(rcb[:h // 2], np.int32),
                               np.asarray(rcr[:h // 2], np.int32)))
-
-    def _recon_steps(self, maps, leaves, resi_y, resi_cb, resi_cr) -> None:
-        sps = self.sps
-        w, h, bd = sps.pic_width, sps.pic_height, sps.bit_depth
-        zplane = wavefront.zaddr4_plane(w, h, sps.ctb_log2)
-        sched = wavefront.Schedule(leaves, w, h, sps.ctb_log2, zplane)
-        pad = 1 << sps.ctb_log2
-        ry = jnp.zeros((h + pad, w), jnp.int32)
-        rpy = jnp.zeros((h + pad, w), jnp.int32).at[:h].set(
-            jnp.asarray(resi_y))
-        rc = [jnp.zeros((h // 2 + pad, w // 2), jnp.int32) for _ in range(2)]
-        rpc = []
-        for resi in (resi_cb, resi_cr):
-            p = jnp.zeros((h // 2 + pad, w // 2), jnp.int32)
-            rpc.append(p.at[:h // 2].set(jnp.asarray(resi)))
-
-        strong = sps.strong_intra_smoothing
-        for (n, pos, avail_l, avail_c) in sched.steps:
-            b = pos.shape[0]
-            bb = wavefront._bucket(b)
-            posp = wavefront._pad(pos, bb)
-            if bb != b:
-                posp[b:] = (0, h)
-            avl = wavefront._pad(avail_l, bb)
-            modes = np.zeros(bb, np.int32)
-            for i, (x0, y0) in enumerate(pos):
-                modes[i] = maps.mode4[y0 // 4, x0 // 4]
-            ry = wavefront.decode_step(
-                ry, rpy, jnp.asarray(posp, jnp.int32), jnp.asarray(avl),
-                jnp.asarray(modes), n=n, c_idx=0, bit_depth=bd, strong=strong)
-            nc = n // 2
-            posc = posp // 2
-            if bb != b:
-                posc[b:] = (0, h // 2)
-            avc = wavefront._pad(avail_c, bb)
-            cmodes = np.zeros(bb, np.int32)
-            for i, (x0, y0) in enumerate(pos):
-                cm = maps.cmode8[y0 // 8, x0 // 8]
-                cmodes[i] = maps.mode4[y0 // 4, x0 // 4] if cm == 36 else cm
-            for ci in range(2):
-                rc[ci] = wavefront.decode_step(
-                    rc[ci], rpc[ci], jnp.asarray(posc, jnp.int32),
-                    jnp.asarray(avc), jnp.asarray(cmodes),
-                    n=nc, c_idx=ci + 1, bit_depth=bd, strong=strong)
-
-        self.pictures.append((np.asarray(ry[:h], np.int32),
-                              np.asarray(rc[0][:h // 2], np.int32),
-                              np.asarray(rc[1][:h // 2], np.int32)))
 
     def picture_md5(self, idx: int = -1) -> bytes:
         y, cb, cr = self.pictures[idx]

@@ -94,7 +94,9 @@ def avail_mask(pos: np.ndarray, n: int, zplane: np.ndarray,
     inb = (x >= 0) & (y >= 0) & (x < w) & (y < h)
     xs, ys = np.clip(x, 0, w - 1), np.clip(y, 0, h - 1)
     z = zplane[ys >> 2, xs >> 2]
-    zcur = zplane[pos[:, 1] >> 2, pos[:, 0] >> 2]
+    # clip for out-of-frame dummy positions (masked out by the caller)
+    zcur = zplane[np.clip(pos[:, 1], 0, h - 1) >> 2,
+                  np.clip(pos[:, 0], 0, w - 1) >> 2]
     return inb & (z < zcur[:, None])
 
 
@@ -123,6 +125,64 @@ class Schedule:
                  avail_mask(pos, n, zplane, w, h),
                  avail_mask(pos // 2, n // 2,
                             _chroma_zplane(zplane), w // 2, h // 2)))
+
+
+def schedule_topo(blocks, w, h, ctb_log2, zplane):
+    """Generic topological-level scheduler over transform blocks.
+
+    blocks: list of (x, y, log2) in z order. A block's level is
+    1 + max(level of all z-earlier blocks whose samples its reference chain
+    touches) — the minimal-depth parallel schedule for the exact H.265
+    z-scan dependency structure (more parallel than CTU-wave x z-slot:
+    independent blocks across CTUs AND within CTUs batch together).
+
+    Returns list of steps [(n, pos[B,2], avail[B,L], availc[B,Lc])].
+    """
+    from hevc_hop_tpu.entropy import native as _native
+    arr = np.array(blocks, np.int32)
+    levels = _native.wavefront_levels(arr[:, 0], arr[:, 1], arr[:, 2],
+                                      w, h, ctb_log2)
+
+    steps = {}
+    for i, (x, y, log2) in enumerate(blocks):
+        steps.setdefault((int(levels[i]), log2), []).append((x, y))
+    out = []
+    for key in sorted(steps):
+        _, log2 = key
+        pos = np.array(steps[key], np.int64)
+        n = 1 << log2
+        out.append((n, pos,
+                    avail_mask(pos, n, zplane, w, h),
+                    avail_mask(pos // 2, n // 2, _chroma_zplane(zplane),
+                               w // 2, h // 2)))
+    return out
+
+
+def tu_blocks_from_maps(depth8: np.ndarray, tu4: np.ndarray, w: int, h: int,
+                        ctb_log2: int) -> list:
+    """Luma transform blocks (x, y, log2) in z/coding order from the CU depth
+    map + TU-size map."""
+    out = []
+    for (x, y, cu_log2) in leaves_from_depth(depth8, w, h, ctb_log2):
+        t = int(tu4[y // 4, x // 4])
+        t = min(t, cu_log2)
+        size, tn = 1 << cu_log2, 1 << t
+        if t == cu_log2:
+            out.append((x, y, t))
+            continue
+        # TU z-order within the CU
+        def rec(bx, by, log2):
+            if log2 == t:
+                out.append((bx, by, log2))
+                return
+            half = 1 << (log2 - 1)
+            rec(bx, by, log2 - 1)
+            rec(bx + half, by, log2 - 1)
+            rec(bx, by + half, log2 - 1)
+            rec(bx + half, by + half, log2 - 1)
+        rec(x, y, cu_log2)
+        del size, tn
+    return out
 
 
 def _chroma_zplane(zplane: np.ndarray) -> np.ndarray:

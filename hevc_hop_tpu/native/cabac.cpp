@@ -662,8 +662,10 @@ static void decode_residual(CabacDec& d, uint8_t* ctx, int16_t* coef,
 
 struct FrameMaps {
   int pic_w, pic_h, ctb_log2;
+  int max_hier_depth;  // SPS max_transform_hierarchy_depth_intra
   int u8_w, u8_h, u4_w, u4_h;
-  uint8_t *depth8, *part8, *mode4, *cmode8, *cbf4_y, *cbf8_cb, *cbf8_cr;
+  uint8_t *depth8, *part8, *mode4, *cmode8, *tu4, *cbf4_y, *cbf8_cb,
+      *cbf8_cr;
   int16_t *coef_y, *coef_cb, *coef_cr;
   int stride_y, stride_c;
 
@@ -742,18 +744,22 @@ struct SliceEncoder {
                     m.stride_c, log2c, c_idx, cmode);
   }
 
-  // returns nothing; maps fully describe the tree
+  // returns nothing; maps fully describe the tree (tu4 = desired TU log2)
   void transform_tree(int x, int y, int log2, int td, bool intra_split,
                       int parent_cb, int parent_cr, int blk_idx,
                       int xbase, int ybase) {
     int size = 1 << log2;
-    int max_td = intra_split ? 1 : 0;
+    int max_td = m.max_hier_depth + (intra_split ? 1 : 0);
     bool split;
     if (log2 > 5) split = true;
     else if (intra_split && td == 0) split = true;
     else if (log2 == 2) split = false;
     else if (td >= max_td) split = false;
-    else split = false;  // (no optional RQT in this configuration)
+    else {
+      // signaled split_transform_flag (H.265 7.3.8.8)
+      split = m.tu4[(y >> 2) * m.u4_w + (x >> 2)] < log2;
+      e.bin(ctx, CTX_TRANS_SUBDIV + 5 - log2, split);
+    }
 
     int cbf_cb = parent_cb, cbf_cr = parent_cr;
     if (log2 > 2) {
@@ -928,13 +934,13 @@ struct SliceDecoder {
                       int parent_cb, int parent_cr, int blk_idx,
                       int xbase, int ybase) {
     int size = 1 << log2;
-    int max_td = intra_split ? 1 : 0;
+    int max_td = m.max_hier_depth + (intra_split ? 1 : 0);
     bool split;
     if (log2 > 5) split = true;
     else if (intra_split && td == 0) split = true;
     else if (log2 == 2) split = false;
     else if (td >= max_td) split = false;
-    else split = false;
+    else split = d.bin(ctx, CTX_TRANS_SUBDIV + 5 - log2);
 
     int cbf_cb = parent_cb, cbf_cr = parent_cr;
     if (log2 > 2) {
@@ -954,6 +960,9 @@ struct SliceDecoder {
     }
 
     int cbf_luma = d.bin(ctx, CTX_QT_CBF_LUMA + (td == 0 ? 1 : 0));
+    for (int yy = y; yy < y + size && yy < m.pic_h; yy += 4)
+      for (int xx = x; xx < x + size && xx < m.pic_w; xx += 4)
+        m.tu4[(yy >> 2) * m.u4_w + (xx >> 2)] = (uint8_t)log2;
     set_cbf_y(x, y, size, (uint8_t)cbf_luma);
     if (cbf_luma) residual_luma(x, y, log2);
     if (log2 > 2) {
@@ -1057,13 +1066,16 @@ struct SliceDecoder {
 };
 
 static void fill_maps(FrameMaps& m, int pic_w, int pic_h, int ctb_log2,
+                      int max_hier_depth,
                       uint8_t* depth8, uint8_t* part8, uint8_t* mode4,
-                      uint8_t* cmode8, uint8_t* cbf4_y, uint8_t* cbf8_cb,
-                      uint8_t* cbf8_cr, int16_t* coef_y, int16_t* coef_cb,
-                      int16_t* coef_cr) {
+                      uint8_t* cmode8, uint8_t* tu4, uint8_t* cbf4_y,
+                      uint8_t* cbf8_cb, uint8_t* cbf8_cr, int16_t* coef_y,
+                      int16_t* coef_cb, int16_t* coef_cr) {
   m.pic_w = pic_w;
   m.pic_h = pic_h;
   m.ctb_log2 = ctb_log2;
+  m.max_hier_depth = max_hier_depth;
+  m.tu4 = tu4;
   m.u8_w = pic_w >> 3;
   m.u8_h = pic_h >> 3;
   m.u4_w = pic_w >> 2;
@@ -1094,13 +1106,17 @@ int hevc_num_ctx(void) { return NUM_CTX; }
 
 int64_t hevc_encode_slice_data(
     const uint8_t* ctx_states, int pic_w, int pic_h, int ctb_log2,
+    int max_hier_depth,
     const uint8_t* depth8, const uint8_t* part8, const uint8_t* mode4,
-    const uint8_t* cmode8, const uint8_t* cbf4_y, const uint8_t* cbf8_cb,
-    const uint8_t* cbf8_cr, const int16_t* coef_y, const int16_t* coef_cb,
-    const int16_t* coef_cr, uint8_t* out, int64_t cap) {
+    const uint8_t* cmode8, const uint8_t* tu4, const uint8_t* cbf4_y,
+    const uint8_t* cbf8_cb, const uint8_t* cbf8_cr, const int16_t* coef_y,
+    const int16_t* coef_cb, const int16_t* coef_cr, uint8_t* out,
+    int64_t cap) {
   SliceEncoder se;
-  fill_maps(se.m, pic_w, pic_h, ctb_log2, (uint8_t*)depth8, (uint8_t*)part8,
-            (uint8_t*)mode4, (uint8_t*)cmode8, (uint8_t*)cbf4_y,
+  fill_maps(se.m, pic_w, pic_h, ctb_log2, max_hier_depth,
+            (uint8_t*)depth8, (uint8_t*)part8,
+            (uint8_t*)mode4, (uint8_t*)cmode8, (uint8_t*)tu4,
+            (uint8_t*)cbf4_y,
             (uint8_t*)cbf8_cb, (uint8_t*)cbf8_cr, (int16_t*)coef_y,
             (int16_t*)coef_cb, (int16_t*)coef_cr);
   std::vector<uint8_t> ctx(ctx_states, ctx_states + NUM_CTX);
@@ -1114,11 +1130,14 @@ int64_t hevc_encode_slice_data(
 
 int64_t hevc_decode_slice_data(
     const uint8_t* ctx_states, int pic_w, int pic_h, int ctb_log2,
+    int max_hier_depth,
     const uint8_t* data, int64_t size, uint8_t* depth8, uint8_t* part8,
-    uint8_t* mode4, uint8_t* cmode8, uint8_t* cbf4_y, uint8_t* cbf8_cb,
-    uint8_t* cbf8_cr, int16_t* coef_y, int16_t* coef_cb, int16_t* coef_cr) {
+    uint8_t* mode4, uint8_t* cmode8, uint8_t* tu4, uint8_t* cbf4_y,
+    uint8_t* cbf8_cb, uint8_t* cbf8_cr, int16_t* coef_y, int16_t* coef_cb,
+    int16_t* coef_cr) {
   SliceDecoder sd;
-  fill_maps(sd.m, pic_w, pic_h, ctb_log2, depth8, part8, mode4, cmode8,
+  fill_maps(sd.m, pic_w, pic_h, ctb_log2, max_hier_depth,
+            depth8, part8, mode4, cmode8, tu4,
             cbf4_y, cbf8_cb, cbf8_cr, coef_y, coef_cb, coef_cr);
   std::vector<uint8_t> ctx(ctx_states, ctx_states + NUM_CTX);
   sd.ctx = ctx.data();
@@ -1192,6 +1211,51 @@ int64_t residual_decode_one(const uint8_t* init_states, int16_t* coef,
   d.start();
   decode_residual(d, ctx.data(), coef, 1 << log2, log2, c_idx, intra_mode);
   return d.terminate();
+}
+
+// Wavefront topological levels for transform blocks (z-order list).
+// level(block) = 1 + max(level of z-earlier blocks touched by its
+// reference chain). Mirrors models/wavefront.schedule_topo.
+int64_t wavefront_levels(const int32_t* bx, const int32_t* by,
+                         const int32_t* blog2, int nb, int pic_w, int pic_h,
+                         int ctb_log2, int32_t* out_levels) {
+  int u4w = pic_w >> 2, u4h = pic_h >> 2;
+  std::vector<int64_t> zplane((size_t)u4w * u4h);
+  int cshift = ctb_log2 - 2;
+  int nctux = (pic_w + (1 << ctb_log2) - 1) >> ctb_log2;
+  for (int uy = 0; uy < u4h; uy++)
+    for (int ux = 0; ux < u4w; ux++) {
+      int64_t ctu = (int64_t)(uy >> cshift) * nctux + (ux >> cshift);
+      int lx = ux & ((1 << cshift) - 1), ly = uy & ((1 << cshift) - 1);
+      int64_t z = 0;
+      for (int b = 0; b < cshift; b++) {
+        z |= (int64_t)((lx >> b) & 1) << (2 * b);
+        z |= (int64_t)((ly >> b) & 1) << (2 * b + 1);
+      }
+      zplane[(size_t)uy * u4w + ux] = (ctu << (2 * cshift)) | z;
+    }
+  std::vector<int32_t> lplane((size_t)u4w * u4h, 0);
+  for (int i = 0; i < nb; i++) {
+    int x = bx[i], y = by[i], n = 1 << blog2[i];
+    int64_t zc = zplane[(size_t)(y >> 2) * u4w + (x >> 2)];
+    int32_t lev = 0;
+    // chain samples: left column (x-1, y..y+2n-1), corner, top (x..x+2n-1, y-1)
+    for (int k = 0; k < 4 * n + 1; k++) {
+      int sx, sy;
+      if (k < 2 * n) { sx = x - 1; sy = y + k; }
+      else if (k == 2 * n) { sx = x - 1; sy = y - 1; }
+      else { sx = x + (k - 2 * n - 1); sy = y - 1; }
+      if (sx < 0 || sy < 0 || sx >= pic_w || sy >= pic_h) continue;
+      size_t u = (size_t)(sy >> 2) * u4w + (sx >> 2);
+      if (zplane[u] < zc && lplane[u] > lev) lev = lplane[u];
+    }
+    lev += 1;
+    out_levels[i] = lev;
+    for (int yy = y; yy < y + n && yy < pic_h; yy += 4)
+      for (int xx = x; xx < x + n && xx < pic_w; xx += 4)
+        lplane[(size_t)(yy >> 2) * u4w + (xx >> 2)] = lev;
+  }
+  return 0;
 }
 
 }  // extern "C"
