@@ -349,6 +349,9 @@ def write_slice_header(sh: SliceHeader, sps: SPS, pps: PPS) -> BitWriter:
         w.write_flag(0)    # sao chroma
     w.write_se(sh.slice_qp - pps.init_qp)
     # deblocking override absent (override disabled in PPS)
+    if not pps.deblocking_disabled or sps.sao_enabled:
+        # slice_loop_filter_across_slices_enabled_flag (pps enables it)
+        w.write_flag(1)
     w.write_byte_alignment()
     return w
 
@@ -373,6 +376,8 @@ def parse_slice_header(data: bytes, sps: SPS, pps: PPS, nal_type: int,
         r.read_flag()
         r.read_flag()
     sh.slice_qp = r.read_se() + pps.init_qp
+    if not pps.deblocking_disabled or sps.sao_enabled:
+        r.read_flag()    # slice_loop_filter_across_slices_enabled_flag
     r_aligned = (r.bit_pos + 7) & ~7
     sh.data_offset = r_aligned >> 3
     return sh

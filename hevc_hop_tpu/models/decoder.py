@@ -18,6 +18,7 @@ from hevc_hop_tpu.entropy import ctx_layout, native
 from hevc_hop_tpu.io import yuv as yuvio
 from hevc_hop_tpu.ops import quant, transform
 from hevc_hop_tpu.models import wavefront, wavefront_scan
+from hevc_hop_tpu.ops import deblock
 
 
 def _dense_residual(coef_plane: np.ndarray, leaves, qp: int, bit_depth: int,
@@ -99,6 +100,7 @@ class Decoder:
 
         assert min(log2 for (_, _, log2) in leaves) >= 3, \
             "4x4-TU (NxN) streams TODO"
+        self._cur_qp = qp
         self._recon(maps, leaves, resi_y, resi_cb, resi_cr)
 
     def _recon(self, maps, leaves, resi_y, resi_cb, resi_cr) -> None:
@@ -131,9 +133,18 @@ class Decoder:
         ry, rcb, rcr = wavefront_scan.scan_decode(
             rpy, rpcb, rpcr, xs, sizes=sizes, bit_depth=bd,
             strong=sps.strong_intra_smoothing, h=h)
-        self.pictures.append((np.asarray(ry[:h], np.int32),
-                              np.asarray(rcb[:h // 2], np.int32),
-                              np.asarray(rcr[:h // 2], np.int32)))
+        ry, rcb, rcr = ry[:h], rcb[:h // 2], rcr[:h // 2]
+        if not self.pps.deblocking_disabled:
+            from hevc_hop_tpu.common import rom as _rom
+            qp_c = _rom.chroma_qp_from_luma(self._cur_qp)
+            ry, rcb, rcr = deblock.deblock_frame(
+                ry, rcb, rcr, jnp.asarray(maps.tu4), qp=self._cur_qp,
+                qp_c=qp_c, bit_depth=bd,
+                beta_off=self.pps.beta_offset_div2,
+                tc_off=self.pps.tc_offset_div2)
+        self.pictures.append((np.asarray(ry, np.int32),
+                              np.asarray(rcb, np.int32),
+                              np.asarray(rcr, np.int32)))
 
     def picture_md5(self, idx: int = -1) -> bytes:
         y, cb, cr = self.pictures[idx]

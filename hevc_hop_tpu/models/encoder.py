@@ -24,6 +24,7 @@ from hevc_hop_tpu.common.types import NalUnitType, SliceType
 from hevc_hop_tpu.entropy import ctx_layout, native
 from hevc_hop_tpu.io import yuv as yuvio
 from hevc_hop_tpu.models import partition, wavefront, wavefront_scan
+from hevc_hop_tpu.ops import deblock
 
 
 @dataclasses.dataclass
@@ -34,6 +35,7 @@ class EncoderConfig:
     bit_depth: int = 8
     ctb_log2: int = 5
     strong_intra_smoothing: bool = True
+    deblocking: bool = True
     # partition: None = quadtree DP (default); or fixed uniform CU log2
     cu_log2: int | None = None
     # mode decision: "analysis" (dense, original refs) or "rmd" (in-loop
@@ -51,7 +53,8 @@ class IntraEncoder:
             bit_depth=cfg.bit_depth, ctb_log2=cfg.ctb_log2,
             max_transform_hierarchy_depth_intra=0,
             strong_intra_smoothing=cfg.strong_intra_smoothing)
-        self.pps = params.PPS(init_qp=26)
+        self.pps = params.PPS(init_qp=26,
+                              deblocking_disabled=not cfg.deblocking)
 
     def headers(self) -> list:
         vps = params.VPS()
@@ -132,9 +135,14 @@ class IntraEncoder:
         maps.coef_y[:] = np.asarray(coef_y[:h], np.int16)
         maps.coef_cb[:] = np.asarray(coef_cb[:h // 2], np.int16)
         maps.coef_cr[:] = np.asarray(coef_cr[:h // 2], np.int16)
-        self.recon_yuv = (np.asarray(ry[:h], np.int32),
-                          np.asarray(rcb[:h // 2], np.int32),
-                          np.asarray(rcr[:h // 2], np.int32))
+        ry, rcb, rcr = ry[:h], rcb[:h // 2], rcr[:h // 2]
+        if cfg.deblocking:
+            ry, rcb, rcr = deblock.deblock_frame(
+                ry, rcb, rcr, jnp.asarray(maps.tu4), qp=qp, qp_c=qp_c,
+                bit_depth=cfg.bit_depth)
+        self.recon_yuv = (np.asarray(ry, np.int32),
+                          np.asarray(rcb, np.int32),
+                          np.asarray(rcr, np.int32))
 
         # scatter per-block outputs into the frame maps
         for log2 in sizes:
