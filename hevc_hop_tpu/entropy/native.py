@@ -56,20 +56,34 @@ def get_lib() -> ctypes.CDLL:
     lib.residual_decode_one.argtypes = [u8, i16, c, c, c, u8, c64]
     lib.wavefront_levels.restype = c64
     lib.wavefront_levels.argtypes = [i32, i32, i32, c, c, c, c, i32]
+    lib.wavefront_levels_ex.restype = c64
+    lib.wavefront_levels_ex.argtypes = [i32, i32, i32, c, c, c, c, c,
+                                        ctypes.c_void_p, i32]
     _lib = lib
     return lib
 
 
 def wavefront_levels(bx: np.ndarray, by: np.ndarray, blog2: np.ndarray,
-                     pic_w: int, pic_h: int, ctb_log2: int) -> np.ndarray:
-    """Topological wavefront level per transform block (z-order input)."""
+                     pic_w: int, pic_h: int, ctb_log2: int,
+                     ss_range: int = 0,
+                     mv_rect: np.ndarray | None = None) -> np.ndarray:
+    """Topological wavefront level per transform block (z-order input).
+
+    ss_range > 0: every z-earlier block within chebyshev ss_range + n is a
+    dependency (self-similarity search area). mv_rect [nb, 4] (x, y, w, h;
+    w<=0 none): explicit per-block dependency rectangles (decoder-side
+    MV-aware scheduling)."""
     lib = get_lib()
     out = np.zeros(len(bx), np.int32)
-    lib.wavefront_levels(
+    rect_ptr = None
+    if mv_rect is not None:
+        mv_rect = np.ascontiguousarray(mv_rect, np.int32)
+        rect_ptr = mv_rect.ctypes.data_as(ctypes.c_void_p)
+    lib.wavefront_levels_ex(
         np.ascontiguousarray(bx, np.int32),
         np.ascontiguousarray(by, np.int32),
         np.ascontiguousarray(blog2, np.int32),
-        len(bx), pic_w, pic_h, ctb_log2, out)
+        len(bx), pic_w, pic_h, ctb_log2, ss_range, rect_ptr, out)
     return out
 
 

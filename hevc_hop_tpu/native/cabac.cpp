@@ -1216,9 +1216,15 @@ int64_t residual_decode_one(const uint8_t* init_states, int16_t* coef,
 // Wavefront topological levels for transform blocks (z-order list).
 // level(block) = 1 + max(level of z-earlier blocks touched by its
 // reference chain). Mirrors models/wavefront.schedule_topo.
-int64_t wavefront_levels(const int32_t* bx, const int32_t* by,
-                         const int32_t* blog2, int nb, int pic_w, int pic_h,
-                         int ctb_log2, int32_t* out_levels) {
+// ss_range > 0 additionally makes every z-earlier block within
+// (chebyshev) ss_range + n a dependency, so self-similarity prediction may
+// reference the full causal area at this block's wavefront step.
+// mv_rect: optional per-block dependency rectangle [x0,y0,w,h] (4*nb ints,
+// w<=0 -> none) for decoder-side MV-aware scheduling; pass NULL to skip.
+int64_t wavefront_levels_ex(const int32_t* bx, const int32_t* by,
+                            const int32_t* blog2, int nb, int pic_w,
+                            int pic_h, int ctb_log2, int ss_range,
+                            const int32_t* mv_rect, int32_t* out_levels) {
   int u4w = pic_w >> 2, u4h = pic_h >> 2;
   std::vector<int64_t> zplane((size_t)u4w * u4h);
   int cshift = ctb_log2 - 2;
@@ -1249,6 +1255,29 @@ int64_t wavefront_levels(const int32_t* bx, const int32_t* by,
       size_t u = (size_t)(sy >> 2) * u4w + (sx >> 2);
       if (zplane[u] < zc && lplane[u] > lev) lev = lplane[u];
     }
+    if (ss_range > 0) {
+      int d = ss_range + n;
+      int x0 = x - d < 0 ? 0 : x - d, x1 = x + d >= pic_w ? pic_w - 1 : x + d;
+      int y0 = y - d < 0 ? 0 : y - d, y1 = y + d >= pic_h ? pic_h - 1 : y + d;
+      for (int uy = y0 >> 2; uy <= y1 >> 2; uy++)
+        for (int ux = x0 >> 2; ux <= x1 >> 2; ux++) {
+          size_t u = (size_t)uy * u4w + ux;
+          if (zplane[u] < zc && lplane[u] > lev) lev = lplane[u];
+        }
+    }
+    if (mv_rect && mv_rect[4 * i + 2] > 0) {
+      int x0 = mv_rect[4 * i], y0 = mv_rect[4 * i + 1];
+      int x1 = x0 + mv_rect[4 * i + 2] - 1, y1 = y0 + mv_rect[4 * i + 3] - 1;
+      if (x0 < 0) x0 = 0;
+      if (y0 < 0) y0 = 0;
+      if (x1 >= pic_w) x1 = pic_w - 1;
+      if (y1 >= pic_h) y1 = pic_h - 1;
+      for (int uy = y0 >> 2; uy <= y1 >> 2; uy++)
+        for (int ux = x0 >> 2; ux <= x1 >> 2; ux++) {
+          size_t u = (size_t)uy * u4w + ux;
+          if (lplane[u] > lev) lev = lplane[u];
+        }
+    }
     lev += 1;
     out_levels[i] = lev;
     for (int yy = y; yy < y + n && yy < pic_h; yy += 4)
@@ -1256,6 +1285,13 @@ int64_t wavefront_levels(const int32_t* bx, const int32_t* by,
         lplane[(size_t)(yy >> 2) * u4w + (xx >> 2)] = lev;
   }
   return 0;
+}
+
+int64_t wavefront_levels(const int32_t* bx, const int32_t* by,
+                         const int32_t* blog2, int nb, int pic_w, int pic_h,
+                         int ctb_log2, int32_t* out_levels) {
+  return wavefront_levels_ex(bx, by, blog2, nb, pic_w, pic_h, ctb_log2, 0,
+                             nullptr, out_levels);
 }
 
 }  // extern "C"
