@@ -54,6 +54,19 @@ def get_lib() -> ctypes.CDLL:
     lib.residual_encode_one.argtypes = [u8, i16, c, c, c, u8, c64]
     lib.residual_decode_one.restype = c64
     lib.residual_decode_one.argtypes = [u8, i16, c, c, c, u8, c64]
+    lib.hevc_encode_slice_data_ss.restype = c64
+    lib.hevc_encode_slice_data_ss.argtypes = [
+        u8, c, c, c, c, c, c,
+        u8, u8, u8, u8, u8, u8, u8, u8, i16, i16, i16,
+        u8, u8, u8, u8, u8, i16, i16, i16, u8, c64]
+    lib.hevc_decode_slice_data_ss.restype = c64
+    lib.hevc_decode_slice_data_ss.argtypes = [
+        u8, c, c, c, c, c, c, u8, c64,
+        u8, u8, u8, u8, u8, u8, u8, u8, i16, i16, i16,
+        u8, u8, u8, u8, u8, i16, i16, i16]
+    lib.probe_merge_list.restype = c64
+    lib.probe_merge_list.argtypes = [c, c, c, c, c, u8, i16, i16,
+                                     c, c, c, i32]
     lib.wavefront_levels.restype = c64
     lib.wavefront_levels.argtypes = [i32, i32, i32, c, c, c, c, i32]
     lib.wavefront_levels_ex.restype = c64
@@ -108,11 +121,27 @@ class SliceMaps:
         self.coef_y = np.zeros((pic_h, pic_w), np.int16)
         self.coef_cb = np.zeros((pic_h // 2, pic_w // 2), np.int16)
         self.coef_cr = np.zeros((pic_h // 2, pic_w // 2), np.int16)
+        # inter / self-similarity maps (ISS/PSS slices)
+        self.slice_type = 2
+        self.mi_size = 0
+        self.pred4 = np.ones((u4h, u4w), np.uint8)   # 1=intra
+        self.skip8 = np.zeros((u8h, u8w), np.uint8)
+        self.merge8 = np.full((u8h, u8w), 255, np.uint8)
+        self.mvp8 = np.zeros((u8h, u8w), np.uint8)
+        self.gt8 = np.zeros((u8h, u8w), np.uint8)
+        self.mv4x = np.zeros((u4h, u4w), np.int16)   # quarter-pel
+        self.mv4y = np.zeros((u4h, u4w), np.int16)
+        self.gtv8 = np.zeros((u8h, u8w, 6), np.int16)
 
     def _args(self):
         return (self.depth8, self.part8, self.mode4, self.cmode8, self.tu4,
                 self.cbf4_y, self.cbf8_cb, self.cbf8_cr,
                 self.coef_y, self.coef_cb, self.coef_cr)
+
+    def _ss_args(self):
+        return self._args() + (self.pred4, self.skip8, self.merge8,
+                               self.mvp8, self.gt8, self.mv4x, self.mv4y,
+                               self.gtv8)
 
 
 def encode_slice_data(ctx_states: np.ndarray, maps: SliceMaps) -> bytes:
@@ -140,3 +169,48 @@ def decode_slice_data(ctx_states: np.ndarray, data: bytes,
     if n < 0:
         raise RuntimeError("slice data desync")
     return maps
+
+
+def encode_slice_data_ss(ctx_states: np.ndarray, maps: SliceMaps) -> bytes:
+    """ISS/PSS slice-data serialization with the inter/SS maps."""
+    lib = get_lib()
+    cap = maps.pic_w * maps.pic_h * 8 + 65536
+    out = np.zeros(cap, np.uint8)
+    n = lib.hevc_encode_slice_data_ss(
+        np.ascontiguousarray(ctx_states, np.uint8),
+        maps.pic_w, maps.pic_h, maps.ctb_log2, maps.max_hier_depth,
+        maps.slice_type, maps.mi_size, *maps._ss_args(), out, cap)
+    if n < 0:
+        raise RuntimeError("slice data overflow")
+    return out[:n].tobytes()
+
+
+def decode_slice_data_ss(ctx_states: np.ndarray, data: bytes,
+                         pic_w: int, pic_h: int, ctb_log2: int,
+                         max_hier_depth: int, slice_type: int,
+                         mi_size: int) -> SliceMaps:
+    lib = get_lib()
+    maps = SliceMaps(pic_w, pic_h, ctb_log2, max_hier_depth)
+    maps.slice_type = slice_type
+    maps.mi_size = mi_size
+    buf = np.frombuffer(data, np.uint8)
+    n = lib.hevc_decode_slice_data_ss(
+        np.ascontiguousarray(ctx_states, np.uint8), pic_w, pic_h, ctb_log2,
+        max_hier_depth, slice_type, mi_size, buf, len(data),
+        *maps._ss_args())
+    if n < 0:
+        raise RuntimeError("slice data desync")
+    return maps
+
+
+def probe_merge_amvp(pic_w, pic_h, ctb_log2, slice_type, mi_size,
+                     pred4, mv4x, mv4y, x, y, n):
+    """Returns (merge list [5,2], amvp [2,2]) quarter-pel."""
+    lib = get_lib()
+    out = np.zeros(14, np.int32)
+    lib.probe_merge_list(pic_w, pic_h, ctb_log2, slice_type, mi_size,
+                         np.ascontiguousarray(pred4, np.uint8),
+                         np.ascontiguousarray(mv4x, np.int16),
+                         np.ascontiguousarray(mv4y, np.int16),
+                         x, y, n, out)
+    return out[:10].reshape(5, 2), out[10:14].reshape(2, 2)

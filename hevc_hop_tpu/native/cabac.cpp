@@ -668,6 +668,50 @@ struct FrameMaps {
       *cbf8_cr;
   int16_t *coef_y, *coef_cb, *coef_cr;
   int stride_y, stride_c;
+  // inter / self-similarity extension (ISS/PSS slices)
+  int slice_type = 2;    // 2=I, 3=ISS, 4=PSS
+  int mi_size = 0;       // vps_holo_microimage_size
+  int max_merge = 5;
+  uint8_t *pred4 = nullptr;   // 1=intra (default), 0=inter, per 4x4 unit
+  uint8_t *skip8 = nullptr;   // cu_skip_flag per 8x8 unit
+  uint8_t *merge8 = nullptr;  // 255 = not merge, else merge idx
+  uint8_t *mvp8 = nullptr;    // mvp_l0_flag
+  uint8_t *gt8 = nullptr;     // gt_flag
+  int16_t *mv4x = nullptr, *mv4y = nullptr;  // MV per 4x4, quarter-pel
+  int16_t *gtv8 = nullptr;    // [u8][6]: corners 0..2 (hor, ver)
+  std::vector<int64_t> zplane; // z-scan address per 4x4 unit
+
+  void build_zplane() {
+    zplane.resize((size_t)u4_w * u4_h);
+    int cshift = ctb_log2 - 2;
+    int nctux = (pic_w + (1 << ctb_log2) - 1) >> ctb_log2;
+    for (int uy = 0; uy < u4_h; uy++)
+      for (int ux = 0; ux < u4_w; ux++) {
+        int64_t ctu = (int64_t)(uy >> cshift) * nctux + (ux >> cshift);
+        int lx = ux & ((1 << cshift) - 1), ly = uy & ((1 << cshift) - 1);
+        int64_t z = 0;
+        for (int b = 0; b < cshift; b++) {
+          z |= (int64_t)((lx >> b) & 1) << (2 * b);
+          z |= (int64_t)((ly >> b) & 1) << (2 * b + 1);
+        }
+        zplane[(size_t)uy * u4_w + ux] = (ctu << (2 * cshift)) | z;
+      }
+  }
+  inline int64_t zat(int x, int y) const {
+    return zplane[(size_t)(y >> 2) * u4_w + (x >> 2)];
+  }
+  // neighbor sample availability (z-scan rule, 6.4.1)
+  inline bool navail(int x, int y, int64_t zcur) const {
+    if (x < 0 || y < 0 || x >= pic_w || y >= pic_h) return false;
+    return zat(x, y) < zcur;
+  }
+  inline bool inter_at(int x, int y) const {
+    return pred4 && pred4[(y >> 2) * u4_w + (x >> 2)] == 0;
+  }
+  inline void mv_at(int x, int y, int& mx, int& my) const {
+    mx = mv4x[(y >> 2) * u4_w + (x >> 2)];
+    my = mv4y[(y >> 2) * u4_w + (x >> 2)];
+  }
 
   int cu_depth_at(int x, int y) const { return depth8[(y >> 3) * u8_w + (x >> 3)]; }
   int luma_mode_at(int x, int y) const { return mode4[(y >> 2) * u4_w + (x >> 2)]; }
@@ -700,6 +744,144 @@ static void chroma_cand_list(int luma_mode, int list[4]) {
   list[0] = 0; list[1] = 26; list[2] = 10; list[3] = 1;
   for (int i = 0; i < 4; i++)
     if (list[i] == luma_mode) { list[i] = 34; break; }
+}
+
+
+// ---------------------------------------------------------------------------
+// Inter helpers: merge candidate list (ref TComDataCU::getInterMergeCandidates
+// incl. the IT micro-image candidates at 2642-2760) and AMVP (fillMvpCand),
+// single-reference (SS) lists, no TMVP.
+// ---------------------------------------------------------------------------
+
+struct MvCand { int x = 0, y = 0; };
+
+static inline bool mv_inside_pic(const FrameMaps& m, int cu_x, int cu_y,
+                                 int mvx, int mvy) {
+  // ref TComDataCU::isMvInsidePic (loose bound with margins)
+  int maxcu = 1 << m.ctb_log2;
+  int hor_max = (m.pic_w + 8 - cu_x - 1) << 2;
+  int hor_min = (-maxcu - 8 - cu_x + 1) << 2;
+  int ver_max = (m.pic_h + 8 - cu_y - 1) << 2;
+  int ver_min = (-maxcu - 8 - cu_y + 1) << 2;
+  return mvx >= hor_min && mvx <= hor_max && mvy >= ver_min && mvy <= ver_max;
+}
+
+static int build_merge_list(const FrameMaps& m, int x, int y, int n,
+                            MvCand out[5]) {
+  int64_t zc = m.zat(x, y);
+  int count = 0;
+  auto add_nb = [&](int nx, int ny) -> bool {
+    if (!m.navail(nx, ny, zc) || !m.inter_at(nx, ny)) return false;
+    int mx, my;
+    m.mv_at(nx, ny, mx, my);
+    out[count].x = mx;
+    out[count].y = my;
+    return true;
+  };
+  auto same_as = [&](int nx, int ny, int px, int py) -> bool {
+    // hasEqualMotion between two neighbor positions
+    int ax, ay, bx_, by_;
+    m.mv_at(nx, ny, ax, ay);
+    m.mv_at(px, py, bx_, by_);
+    return ax == bx_ && ay == by_;
+  };
+  // A1 (left): (x-1, y+n-1)
+  bool a1 = m.navail(x - 1, y + n - 1, zc) && m.inter_at(x - 1, y + n - 1);
+  if (a1 && add_nb(x - 1, y + n - 1)) count++;
+  if (count == m.max_merge) return count;
+  // B1 (above): (x+n-1, y-1)
+  bool b1 = m.navail(x + n - 1, y - 1, zc) && m.inter_at(x + n - 1, y - 1);
+  if (b1 && (!a1 || !same_as(x + n - 1, y - 1, x - 1, y + n - 1)))
+    if (add_nb(x + n - 1, y - 1)) count++;
+  if (count == m.max_merge) return count;
+  // B0 (above-right): (x+n, y-1)
+  bool b0 = m.navail(x + n, y - 1, zc) && m.inter_at(x + n, y - 1);
+  if (b0 && (!b1 || !same_as(x + n, y - 1, x + n - 1, y - 1)))
+    if (add_nb(x + n, y - 1)) count++;
+  if (count == m.max_merge) return count;
+  // A0 (below-left): (x-1, y+n)
+  bool a0 = m.navail(x - 1, y + n, zc) && m.inter_at(x - 1, y + n);
+  if (a0 && (!a1 || !same_as(x - 1, y + n, x - 1, y + n - 1)))
+    if (add_nb(x - 1, y + n)) count++;
+  if (count == m.max_merge) return count;
+  // B2 (above-left) only if count < 4
+  if (count < 4) {
+    bool b2 = m.navail(x - 1, y - 1, zc) && m.inter_at(x - 1, y - 1);
+    if (b2 && (!a1 || !same_as(x - 1, y - 1, x - 1, y + n - 1))
+        && (!b1 || !same_as(x - 1, y - 1, x + n - 1, y - 1)))
+      if (add_nb(x - 1, y - 1)) count++;
+  }
+  if (count == m.max_merge) return count;
+  // IT micro-image candidates (MIMergeCand)
+  if (m.mi_size > 0) {
+    int ctb = 1 << m.ctb_log2;
+    int shift = (n + m.mi_size - 1) / m.mi_size;  // ceil
+    // left MI: available when PU not on the CTU's left column
+    if (count < 4 && (x % ctb) != 0) {
+      int mvx = -(shift * m.mi_size) << 2, mvy = 0;
+      if (mv_inside_pic(m, x, y, mvx, mvy)) {
+        out[count].x = mvx;
+        out[count].y = mvy;
+        count++;
+      }
+    }
+    if (count < m.max_merge && count < 4 && (y % ctb) != 0) {
+      int mvx = 0, mvy = -(shift * m.mi_size) << 2;
+      if (mv_inside_pic(m, x, y, mvx, mvy)) {
+        out[count].x = mvx;
+        out[count].y = mvy;
+        count++;
+      }
+    }
+    if (count < m.max_merge && count < 4 && (x % ctb) != 0) {
+      int mvx = -(shift * m.mi_size) << 2;
+      int mvy = -(shift * m.mi_size) << 2;
+      if (mv_inside_pic(m, x, y, mvx, mvy)) {
+        out[count].x = mvx;
+        out[count].y = mvy;
+        count++;
+      }
+    }
+  }
+  // zero fill
+  while (count < m.max_merge) {
+    out[count].x = 0;
+    out[count].y = 0;
+    count++;
+  }
+  return count;
+}
+
+static void build_amvp(const FrameMaps& m, int x, int y, int n,
+                       MvCand out[2]) {
+  int64_t zc = m.zat(x, y);
+  int count = 0;
+  auto try_pos = [&](int nx, int ny) -> bool {
+    if (!m.navail(nx, ny, zc) || !m.inter_at(nx, ny)) return false;
+    int mx, my;
+    m.mv_at(nx, ny, mx, my);
+    out[count].x = mx;
+    out[count].y = my;
+    return true;
+  };
+  // left candidate: A0 (x-1, y+n) then A1 (x-1, y+n-1)
+  bool got_left = false;
+  if (try_pos(x - 1, y + n)) { count++; got_left = true; }
+  else if (try_pos(x - 1, y + n - 1)) { count++; got_left = true; }
+  // above candidate: B0 (x+n, y-1), B1 (x+n-1, y-1), B2 (x-1, y-1)
+  bool got_above = false;
+  if (try_pos(x + n, y - 1)) { count++; got_above = true; }
+  else if (try_pos(x + n - 1, y - 1)) { count++; got_above = true; }
+  else if (try_pos(x - 1, y - 1)) { count++; got_above = true; }
+  (void)got_left;
+  (void)got_above;
+  // duplicate removal
+  if (count == 2 && out[0].x == out[1].x && out[0].y == out[1].y) count = 1;
+  while (count < 2) {
+    out[count].x = 0;
+    out[count].y = 0;
+    count++;
+  }
 }
 
 // ===========================================================================
@@ -747,7 +929,7 @@ struct SliceEncoder {
   // returns nothing; maps fully describe the tree (tu4 = desired TU log2)
   void transform_tree(int x, int y, int log2, int td, bool intra_split,
                       int parent_cb, int parent_cr, int blk_idx,
-                      int xbase, int ybase) {
+                      int xbase, int ybase, bool is_intra = true) {
     int size = 1 << log2;
     int max_td = m.max_hier_depth + (intra_split ? 1 : 0);
     bool split;
@@ -775,15 +957,17 @@ struct SliceEncoder {
 
     if (split) {
       int h = size >> 1;
-      transform_tree(x, y, log2 - 1, td + 1, intra_split, cbf_cb, cbf_cr, 0, x, y);
-      transform_tree(x + h, y, log2 - 1, td + 1, intra_split, cbf_cb, cbf_cr, 1, x, y);
-      transform_tree(x, y + h, log2 - 1, td + 1, intra_split, cbf_cb, cbf_cr, 2, x, y);
-      transform_tree(x + h, y + h, log2 - 1, td + 1, intra_split, cbf_cb, cbf_cr, 3, x, y);
+      transform_tree(x, y, log2 - 1, td + 1, intra_split, cbf_cb, cbf_cr, 0, x, y, is_intra);
+      transform_tree(x + h, y, log2 - 1, td + 1, intra_split, cbf_cb, cbf_cr, 1, x, y, is_intra);
+      transform_tree(x, y + h, log2 - 1, td + 1, intra_split, cbf_cb, cbf_cr, 2, x, y, is_intra);
+      transform_tree(x + h, y + h, log2 - 1, td + 1, intra_split, cbf_cb, cbf_cr, 3, x, y, is_intra);
       return;
     }
 
     int cbf_luma = cbf_y_area(x, y, size);
-    e.bin(ctx, CTX_QT_CBF_LUMA + (td == 0 ? 1 : 0), cbf_luma);
+    if (is_intra || td != 0 || cbf_cb || cbf_cr)
+      e.bin(ctx, CTX_QT_CBF_LUMA + (td == 0 ? 1 : 0), cbf_luma);
+    // else: inferred 1 (inter leaf at td0 with no chroma cbf)
     if (cbf_luma) residual_luma(x, y, log2);
     if (log2 > 2) {
       if (cbf_cb) residual_chroma(x, y, log2 - 1, 1);
@@ -794,7 +978,162 @@ struct SliceEncoder {
     }
   }
 
+  void ep_exgolomb(uint32_t sym, int count) {
+    while (sym >= (1u << count)) {
+      e.bypass(1);
+      sym -= 1u << count;
+      count++;
+    }
+    e.bypass(0);
+    while (count--) e.bypass((sym >> count) & 1);
+  }
+
+  void code_mvd(int hor, int ver) {
+    e.bin(ctx, CTX_MVD + 0, hor != 0);
+    e.bin(ctx, CTX_MVD + 0, ver != 0);
+    int ah = hor < 0 ? -hor : hor, av = ver < 0 ? -ver : ver;
+    if (hor) e.bin(ctx, CTX_MVD + 1, ah > 1);
+    if (ver) e.bin(ctx, CTX_MVD + 1, av > 1);
+    if (hor) {
+      if (ah > 1) ep_exgolomb(ah - 2, 1);
+      e.bypass(hor < 0);
+    }
+    if (ver) {
+      if (av > 1) ep_exgolomb(av - 2, 1);
+      e.bypass(ver < 0);
+    }
+  }
+
+  void code_merge_idx(int idx) {
+    int num = m.max_merge;
+    if (num <= 1) return;
+    for (int ui = 0; ui < num - 1; ui++) {
+      int sym = (ui == idx) ? 0 : 1;
+      if (ui == 0) e.bin(ctx, CTX_MERGE_IDX, sym);
+      else e.bypass(sym);
+      if (!sym) break;
+    }
+  }
+
+  void code_gt(int u8i, bool gtflag) {
+    // ref TEncSbac::codeGT (affine: corners 0..2 coded, corner 3 derived)
+    if (!gtflag) return;
+    const int16_t* v = m.gtv8 + (size_t)u8i * 6;
+    for (int c = 0; c < 3; c++) {
+      e.bin(ctx, CTX_GT_RES + 0, v[2 * c] != 0);
+      e.bin(ctx, CTX_GT_RES + 0, v[2 * c + 1] != 0);
+    }
+    for (int c = 0; c < 3; c++) {
+      int ah = v[2 * c] < 0 ? -v[2 * c] : v[2 * c];
+      int av = v[2 * c + 1] < 0 ? -v[2 * c + 1] : v[2 * c + 1];
+      if (v[2 * c]) e.bin(ctx, CTX_GT_RES + 1, ah > 1);
+      if (v[2 * c + 1]) e.bin(ctx, CTX_GT_RES + 1, av > 1);
+    }
+    for (int c = 0; c < 3; c++) {
+      int ah = v[2 * c] < 0 ? -v[2 * c] : v[2 * c];
+      int av = v[2 * c + 1] < 0 ? -v[2 * c + 1] : v[2 * c + 1];
+      if (v[2 * c]) {
+        if (ah > 1) ep_exgolomb(ah - 2, 1);
+        e.bypass(v[2 * c] < 0);
+      }
+      if (v[2 * c + 1]) {
+        if (av > 1) ep_exgolomb(av - 2, 1);
+        e.bypass(v[2 * c + 1] < 0);
+      }
+    }
+  }
+
+  void code_inter_cu(int x, int y, int log2, bool skip) {
+    int size = 1 << log2;
+    int u8i = (y >> 3) * m.u8_w + (x >> 3);
+    int mvx, mvy;
+    m.mv_at(x, y, mvx, mvy);
+    bool gt = m.gt8 && m.gt8[u8i];
+    MvCand mrg[5];
+    build_merge_list(m, x, y, size, mrg);
+    int merge_idx = -1;
+    if (!gt) {
+      for (int i = 0; i < m.max_merge; i++)
+        if (mrg[i].x == mvx && mrg[i].y == mvy) {
+          merge_idx = i;
+          break;
+        }
+    }
+    int cbf_any = cbf_y_area(x, y, size) | cbf_cb_area(x, y, size) |
+                  cbf_cr_area(x, y, size);
+    if (skip) {
+      // caller already coded cu_skip_flag=1
+      code_merge_idx(merge_idx);
+      for (int yy = y; yy < y + size && yy < m.pic_h; yy += 8)
+        for (int xx = x; xx < x + size && xx < m.pic_w; xx += 8)
+          m.skip8[(yy >> 3) * m.u8_w + (xx >> 3)] = 1;
+      return;
+    }
+    e.bin(ctx, CTX_PRED_MODE, 0);       // inter
+    e.bin(ctx, CTX_PART_SIZE, 1);       // 2Nx2N
+    e.bin(ctx, CTX_MERGE_FLAG, merge_idx >= 0);
+    if (merge_idx >= 0) {
+      code_merge_idx(merge_idx);
+    } else {
+      MvCand amvp[2];
+      build_amvp(m, x, y, size, amvp);
+      // pick the cheaper predictor
+      int c0 = (mvx - amvp[0].x < 0 ? -(mvx - amvp[0].x) : mvx - amvp[0].x)
+             + (mvy - amvp[0].y < 0 ? -(mvy - amvp[0].y) : mvy - amvp[0].y);
+      int c1 = (mvx - amvp[1].x < 0 ? -(mvx - amvp[1].x) : mvx - amvp[1].x)
+             + (mvy - amvp[1].y < 0 ? -(mvy - amvp[1].y) : mvy - amvp[1].y);
+      int mvp = c1 < c0 ? 1 : 0;
+      code_mvd(mvx - amvp[mvp].x, mvy - amvp[mvp].y);
+      e.bin(ctx, CTX_MVP_IDX, mvp);
+      e.bin(ctx, CTX_GT_FLAG, gt ? 1 : 0);
+      code_gt(u8i, gt);
+    }
+    if (merge_idx < 0) {
+      e.bin(ctx, CTX_QT_ROOT_CBF, cbf_any);
+    }  // merge 2Nx2N non-skip: rqt_root_cbf inferred 1
+    if (cbf_any || merge_idx >= 0)
+      transform_tree(x, y, log2, 0, false, 0, 0, 0, x, y, false);
+  }
+
+  bool can_skip(int x, int y, int log2) {
+    // skip = inter 2Nx2N whose MV is a merge candidate, gt off, no residual
+    int size = 1 << log2;
+    int u8i = (y >> 3) * m.u8_w + (x >> 3);
+    if (m.pred4[(y >> 2) * m.u4_w + (x >> 2)] != 0) return false;
+    if (m.gt8 && m.gt8[u8i]) return false;
+    if (cbf_y_area(x, y, size) || cbf_cb_area(x, y, size) ||
+        cbf_cr_area(x, y, size))
+      return false;
+    int mvx, mvy;
+    m.mv_at(x, y, mvx, mvy);
+    MvCand mrg[5];
+    build_merge_list(m, x, y, size, mrg);
+    for (int i = 0; i < m.max_merge; i++)
+      if (mrg[i].x == mvx && mrg[i].y == mvy) return true;
+    return false;
+  }
+
   void code_cu(int x, int y, int log2) {
+    if (m.slice_type >= 3) {
+      // inter-capable slice: cu_skip_flag first
+      int64_t zc = m.zat(x, y);
+      int ctxi = 0;
+      if (m.navail(x - 1, y, zc)
+          && m.skip8[(y >> 3) * m.u8_w + ((x - 1) >> 3)]) ctxi++;
+      if (m.navail(x, y - 1, zc)
+          && m.skip8[((y - 1) >> 3) * m.u8_w + (x >> 3)]) ctxi++;
+      bool skip = can_skip(x, y, log2);
+      e.bin(ctx, CTX_SKIP + ctxi, skip);
+      if (skip) {
+        code_inter_cu(x, y, log2, true);
+        return;
+      }
+      if (m.pred4[(y >> 2) * m.u4_w + (x >> 2)] == 0) {
+        code_inter_cu(x, y, log2, false);
+        return;
+      }
+      e.bin(ctx, CTX_PRED_MODE, 1);  // intra
+    }
     int part_nxn = 0;
     if (log2 == 3) {  // min CU: part_mode present
       part_nxn = m.part8[(y >> 3) * m.u8_w + (x >> 3)] == 3;
@@ -932,7 +1271,7 @@ struct SliceDecoder {
 
   void transform_tree(int x, int y, int log2, int td, bool intra_split,
                       int parent_cb, int parent_cr, int blk_idx,
-                      int xbase, int ybase) {
+                      int xbase, int ybase, bool is_intra = true) {
     int size = 1 << log2;
     int max_td = m.max_hier_depth + (intra_split ? 1 : 0);
     bool split;
@@ -952,14 +1291,16 @@ struct SliceDecoder {
 
     if (split) {
       int h = size >> 1;
-      transform_tree(x, y, log2 - 1, td + 1, intra_split, cbf_cb, cbf_cr, 0, x, y);
-      transform_tree(x + h, y, log2 - 1, td + 1, intra_split, cbf_cb, cbf_cr, 1, x, y);
-      transform_tree(x, y + h, log2 - 1, td + 1, intra_split, cbf_cb, cbf_cr, 2, x, y);
-      transform_tree(x + h, y + h, log2 - 1, td + 1, intra_split, cbf_cb, cbf_cr, 3, x, y);
+      transform_tree(x, y, log2 - 1, td + 1, intra_split, cbf_cb, cbf_cr, 0, x, y, is_intra);
+      transform_tree(x + h, y, log2 - 1, td + 1, intra_split, cbf_cb, cbf_cr, 1, x, y, is_intra);
+      transform_tree(x, y + h, log2 - 1, td + 1, intra_split, cbf_cb, cbf_cr, 2, x, y, is_intra);
+      transform_tree(x + h, y + h, log2 - 1, td + 1, intra_split, cbf_cb, cbf_cr, 3, x, y, is_intra);
       return;
     }
 
-    int cbf_luma = d.bin(ctx, CTX_QT_CBF_LUMA + (td == 0 ? 1 : 0));
+    int cbf_luma = 1;  // inferred for inter leaf at td0 w/o chroma cbf
+    if (is_intra || td != 0 || cbf_cb || cbf_cr)
+      cbf_luma = d.bin(ctx, CTX_QT_CBF_LUMA + (td == 0 ? 1 : 0));
     for (int yy = y; yy < y + size && yy < m.pic_h; yy += 4)
       for (int xx = x; xx < x + size && xx < m.pic_w; xx += 4)
         m.tu4[(yy >> 2) * m.u4_w + (xx >> 2)] = (uint8_t)log2;
@@ -978,7 +1319,162 @@ struct SliceDecoder {
     }
   }
 
+  int dec_ep_exgolomb(int count) {
+    uint32_t sym = 0;
+    while (d.bypass()) {
+      sym += 1u << count;
+      count++;
+    }
+    while (count--)
+      if (d.bypass()) sym += 1u << count;
+    return (int)sym;
+  }
+
+  void dec_mvd(int& hor, int& ver) {
+    int g0h = d.bin(ctx, CTX_MVD + 0);
+    int g0v = d.bin(ctx, CTX_MVD + 0);
+    int g1h = g0h ? d.bin(ctx, CTX_MVD + 1) : 0;
+    int g1v = g0v ? d.bin(ctx, CTX_MVD + 1) : 0;
+    hor = ver = 0;
+    if (g0h) {
+      int a = g1h ? 2 + dec_ep_exgolomb(1) : 1;
+      hor = d.bypass() ? -a : a;
+    }
+    if (g0v) {
+      int a = g1v ? 2 + dec_ep_exgolomb(1) : 1;
+      ver = d.bypass() ? -a : a;
+    }
+  }
+
+  int dec_merge_idx() {
+    int num = m.max_merge;
+    if (num <= 1) return 0;
+    int idx = 0;
+    if (d.bin(ctx, CTX_MERGE_IDX)) {
+      idx++;
+      for (; idx < num - 1; idx++)
+        if (!d.bypass()) break;
+    }
+    return idx;
+  }
+
+  void dec_gt(int u8i, bool gtflag) {
+    int16_t* v = m.gtv8 + (size_t)u8i * 6;
+    for (int k = 0; k < 6; k++) v[k] = 0;
+    if (!gtflag) return;
+    int g0[6], g1[6] = {0, 0, 0, 0, 0, 0};
+    for (int k = 0; k < 6; k++) g0[k] = d.bin(ctx, CTX_GT_RES + 0);
+    for (int k = 0; k < 6; k++)
+      if (g0[k]) g1[k] = d.bin(ctx, CTX_GT_RES + 1);
+    for (int k = 0; k < 6; k++) {
+      if (!g0[k]) continue;
+      int a = g1[k] ? 2 + dec_ep_exgolomb(1) : 1;
+      v[k] = (int16_t)(d.bypass() ? -a : a);
+    }
+  }
+
+  void set_inter_maps(int x, int y, int size, int mvx, int mvy) {
+    for (int yy = y; yy < y + size && yy < m.pic_h; yy += 4)
+      for (int xx = x; xx < x + size && xx < m.pic_w; xx += 4) {
+        size_t u = (size_t)(yy >> 2) * m.u4_w + (xx >> 2);
+        m.pred4[u] = 0;
+        m.mv4x[u] = (int16_t)mvx;
+        m.mv4y[u] = (int16_t)mvy;
+        m.mode4[u] = 1;  // DC for MPM/scan purposes
+      }
+    for (int yy = y; yy < y + size && yy < m.pic_h; yy += 8)
+      for (int xx = x; xx < x + size && xx < m.pic_w; xx += 8)
+        m.cmode8[(yy >> 3) * m.u8_w + (xx >> 3)] = 36;
+  }
+
+  void dec_inter_cu(int x, int y, int log2, bool skip) {
+    int size = 1 << log2;
+    int u8i = (y >> 3) * m.u8_w + (x >> 3);
+    int mvx = 0, mvy = 0;
+    if (skip) {
+      int idx = dec_merge_idx();
+      MvCand mrg[5];
+      build_merge_list(m, x, y, size, mrg);
+      mvx = mrg[idx].x;
+      mvy = mrg[idx].y;
+      for (int yy = y; yy < y + size && yy < m.pic_h; yy += 8)
+        for (int xx = x; xx < x + size && xx < m.pic_w; xx += 8)
+          m.skip8[(yy >> 3) * m.u8_w + (xx >> 3)] = 1;
+      m.merge8[u8i] = (uint8_t)idx;
+      set_inter_maps(x, y, size, mvx, mvy);
+      set_cbf_y(x, y, size, 0);
+      set_cbf_c(m.cbf8_cb, x, y, size, 0);
+      set_cbf_c(m.cbf8_cr, x, y, size, 0);
+      for (int yy = y; yy < y + size && yy < m.pic_h; yy += 4)
+        for (int xx = x; xx < x + size && xx < m.pic_w; xx += 4)
+          m.tu4[(yy >> 2) * m.u4_w + (xx >> 2)] = (uint8_t)log2;
+      return;
+    }
+    // part_mode (inter): first bin 1 -> 2Nx2N
+    int b0 = d.bin(ctx, CTX_PART_SIZE);
+    if (!b0) {
+      // non-2Nx2N inter partitions unsupported in this build
+      d.size = -1;  // force desync error
+      return;
+    }
+    int merge = d.bin(ctx, CTX_MERGE_FLAG);
+    bool gt = false;
+    if (merge) {
+      int idx = dec_merge_idx();
+      MvCand mrg[5];
+      build_merge_list(m, x, y, size, mrg);
+      mvx = mrg[idx].x;
+      mvy = mrg[idx].y;
+      m.merge8[u8i] = (uint8_t)idx;
+      dec_gt(u8i, false);
+    } else {
+      int mdx, mdy;
+      dec_mvd(mdx, mdy);
+      int mvp = d.bin(ctx, CTX_MVP_IDX);
+      MvCand amvp[2];
+      build_amvp(m, x, y, size, amvp);
+      mvx = amvp[mvp].x + mdx;
+      mvy = amvp[mvp].y + mdy;
+      m.mvp8[u8i] = (uint8_t)mvp;
+      m.merge8[u8i] = 255;
+      gt = d.bin(ctx, CTX_GT_FLAG) != 0;
+      m.gt8[u8i] = gt ? 1 : 0;
+      dec_gt(u8i, gt);
+    }
+    set_inter_maps(x, y, size, mvx, mvy);
+    int root_cbf = 1;
+    if (!merge) root_cbf = d.bin(ctx, CTX_QT_ROOT_CBF);
+    for (int yy = y; yy < y + size && yy < m.pic_h; yy += 4)
+      for (int xx = x; xx < x + size && xx < m.pic_w; xx += 4)
+        m.tu4[(yy >> 2) * m.u4_w + (xx >> 2)] = (uint8_t)log2;
+    if (root_cbf) {
+      transform_tree(x, y, log2, 0, false, 0, 0, 0, x, y, false);
+    } else {
+      set_cbf_y(x, y, size, 0);
+      set_cbf_c(m.cbf8_cb, x, y, size, 0);
+      set_cbf_c(m.cbf8_cr, x, y, size, 0);
+    }
+  }
+
   void code_cu(int x, int y, int log2) {
+    if (m.slice_type >= 3) {
+      int64_t zc = m.zat(x, y);
+      int ctxi = 0;
+      if (m.navail(x - 1, y, zc)
+          && m.skip8[(y >> 3) * m.u8_w + ((x - 1) >> 3)]) ctxi++;
+      if (m.navail(x, y - 1, zc)
+          && m.skip8[((y - 1) >> 3) * m.u8_w + (x >> 3)]) ctxi++;
+      int skip = d.bin(ctx, CTX_SKIP + ctxi);
+      if (skip) {
+        dec_inter_cu(x, y, log2, true);
+        return;
+      }
+      int is_intra = d.bin(ctx, CTX_PRED_MODE);
+      if (!is_intra) {
+        dec_inter_cu(x, y, log2, false);
+        return;
+      }
+    }
     int part_nxn = 0;
     if (log2 == 3) {
       part_nxn = !d.bin(ctx, CTX_PART_SIZE);
@@ -1076,6 +1572,9 @@ static void fill_maps(FrameMaps& m, int pic_w, int pic_h, int ctb_log2,
   m.ctb_log2 = ctb_log2;
   m.max_hier_depth = max_hier_depth;
   m.tu4 = tu4;
+  m.u4_w = pic_w >> 2;
+  m.u4_h = pic_h >> 2;
+  m.build_zplane();
   m.u8_w = pic_w >> 3;
   m.u8_h = pic_h >> 3;
   m.u4_w = pic_w >> 2;
@@ -1144,6 +1643,104 @@ int64_t hevc_decode_slice_data(
   sd.d.data = data;
   sd.d.size = size;
   return sd.run();
+}
+
+// ISS/PSS (self-similarity) slice data with the inter/SS maps.
+int64_t hevc_encode_slice_data_ss(
+    const uint8_t* ctx_states, int pic_w, int pic_h, int ctb_log2,
+    int max_hier_depth, int slice_type, int mi_size,
+    const uint8_t* depth8, const uint8_t* part8, const uint8_t* mode4,
+    const uint8_t* cmode8, const uint8_t* tu4, const uint8_t* cbf4_y,
+    const uint8_t* cbf8_cb, const uint8_t* cbf8_cr, const int16_t* coef_y,
+    const int16_t* coef_cb, const int16_t* coef_cr,
+    const uint8_t* pred4, uint8_t* skip8, uint8_t* merge8, uint8_t* mvp8,
+    const uint8_t* gt8, const int16_t* mv4x, const int16_t* mv4y,
+    const int16_t* gtv8, uint8_t* out, int64_t cap) {
+  SliceEncoder se;
+  fill_maps(se.m, pic_w, pic_h, ctb_log2, max_hier_depth,
+            (uint8_t*)depth8, (uint8_t*)part8, (uint8_t*)mode4,
+            (uint8_t*)cmode8, (uint8_t*)tu4, (uint8_t*)cbf4_y,
+            (uint8_t*)cbf8_cb, (uint8_t*)cbf8_cr, (int16_t*)coef_y,
+            (int16_t*)coef_cb, (int16_t*)coef_cr);
+  se.m.slice_type = slice_type;
+  se.m.mi_size = mi_size;
+  se.m.pred4 = (uint8_t*)pred4;
+  se.m.skip8 = skip8;
+  se.m.merge8 = merge8;
+  se.m.mvp8 = mvp8;
+  se.m.gt8 = (uint8_t*)gt8;
+  se.m.mv4x = (int16_t*)mv4x;
+  se.m.mv4y = (int16_t*)mv4y;
+  se.m.gtv8 = (int16_t*)gtv8;
+  std::vector<uint8_t> ctx(ctx_states, ctx_states + NUM_CTX);
+  se.ctx = ctx.data();
+  std::vector<uint8_t> buf;
+  int64_t n = se.run(&buf);
+  if (n > cap) return -1;
+  memcpy(out, buf.data(), (size_t)n);
+  return n;
+}
+
+int64_t hevc_decode_slice_data_ss(
+    const uint8_t* ctx_states, int pic_w, int pic_h, int ctb_log2,
+    int max_hier_depth, int slice_type, int mi_size,
+    const uint8_t* data, int64_t size, uint8_t* depth8, uint8_t* part8,
+    uint8_t* mode4, uint8_t* cmode8, uint8_t* tu4, uint8_t* cbf4_y,
+    uint8_t* cbf8_cb, uint8_t* cbf8_cr, int16_t* coef_y, int16_t* coef_cb,
+    int16_t* coef_cr, uint8_t* pred4, uint8_t* skip8, uint8_t* merge8,
+    uint8_t* mvp8, uint8_t* gt8, int16_t* mv4x, int16_t* mv4y,
+    int16_t* gtv8) {
+  SliceDecoder sd;
+  fill_maps(sd.m, pic_w, pic_h, ctb_log2, max_hier_depth,
+            depth8, part8, mode4, cmode8, tu4,
+            cbf4_y, cbf8_cb, cbf8_cr, coef_y, coef_cb, coef_cr);
+  sd.m.slice_type = slice_type;
+  sd.m.mi_size = mi_size;
+  sd.m.pred4 = pred4;
+  sd.m.skip8 = skip8;
+  sd.m.merge8 = merge8;
+  sd.m.mvp8 = mvp8;
+  sd.m.gt8 = gt8;
+  sd.m.mv4x = mv4x;
+  sd.m.mv4y = mv4y;
+  sd.m.gtv8 = gtv8;
+  std::vector<uint8_t> ctx(ctx_states, ctx_states + NUM_CTX);
+  sd.ctx = ctx.data();
+  sd.d.data = data;
+  sd.d.size = size;
+  return sd.run();
+}
+
+// Merge/AMVP probes for differential testing from Python.
+int64_t probe_merge_list(int pic_w, int pic_h, int ctb_log2, int slice_type,
+                         int mi_size, const uint8_t* pred4,
+                         const int16_t* mv4x, const int16_t* mv4y,
+                         int x, int y, int n, int32_t* out10) {
+  FrameMaps m;
+  m.pic_w = pic_w;
+  m.pic_h = pic_h;
+  m.ctb_log2 = ctb_log2;
+  m.u4_w = pic_w >> 2;
+  m.u4_h = pic_h >> 2;
+  m.slice_type = slice_type;
+  m.mi_size = mi_size;
+  m.pred4 = (uint8_t*)pred4;
+  m.mv4x = (int16_t*)mv4x;
+  m.mv4y = (int16_t*)mv4y;
+  m.build_zplane();
+  MvCand c[5];
+  build_merge_list(m, x, y, n, c);
+  for (int i = 0; i < 5; i++) {
+    out10[2 * i] = c[i].x;
+    out10[2 * i + 1] = c[i].y;
+  }
+  MvCand a[2];
+  build_amvp(m, x, y, n, a);
+  out10[10] = a[0].x;
+  out10[11] = a[0].y;
+  out10[12] = a[1].x;
+  out10[13] = a[1].y;
+  return 0;
 }
 
 // Generic op-stream interface for engine-level differential tests.
