@@ -378,6 +378,8 @@ def parse_slice_header(data: bytes, sps: SPS, pps: PPS, nal_type: int,
     sh.slice_qp = r.read_se() + pps.init_qp
     if not pps.deblocking_disabled or sps.sao_enabled:
         r.read_flag()    # slice_loop_filter_across_slices_enabled_flag
+    # byte_alignment(): mandatory stop bit, then zero bits to the boundary
+    assert r.read_flag() == 1, "alignment stop bit"
     r_aligned = (r.bit_pos + 7) & ~7
     sh.data_offset = r_aligned >> 3
     return sh

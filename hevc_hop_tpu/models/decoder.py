@@ -81,14 +81,19 @@ class Decoder:
         holo = bool(self.vps and self.vps.holo)
         sh = params.parse_slice_header(rbsp, sps, pps, nal_type, holo)
         assert sh.slice_type in (SliceType.I, SliceType.ISS), \
-            "inter slices TODO"
+            "P/B/PSS slices TODO"
         w, h, bd = sps.pic_width, sps.pic_height, sps.bit_depth
         qp = sh.slice_qp
-        states = ctx_layout.init_states(int(sh.slice_type)
-                                        if sh.slice_type <= 4 else 2, qp)
-        maps = native.decode_slice_data(
-            states, rbsp[sh.data_offset:], w, h, sps.ctb_log2,
-            max_hier_depth=sps.max_transform_hierarchy_depth_intra)
+        states = ctx_layout.init_states(int(sh.slice_type), qp)
+        if sh.slice_type == SliceType.ISS:
+            maps = native.decode_slice_data_ss(
+                states, rbsp[sh.data_offset:], w, h, sps.ctb_log2,
+                sps.max_transform_hierarchy_depth_intra,
+                int(SliceType.ISS), self.vps.holo_mi_size)
+        else:
+            maps = native.decode_slice_data(
+                states, rbsp[sh.data_offset:], w, h, sps.ctb_log2,
+                max_hier_depth=sps.max_transform_hierarchy_depth_intra)
 
         # reconstruction structure = TRANSFORM blocks (prediction is per-TU)
         leaves = wavefront.tu_blocks_from_maps(maps.depth8, maps.tu4,
@@ -101,7 +106,10 @@ class Decoder:
         assert min(log2 for (_, _, log2) in leaves) >= 3, \
             "4x4-TU (NxN) streams TODO"
         self._cur_qp = qp
-        self._recon(maps, leaves, resi_y, resi_cb, resi_cr)
+        if sh.slice_type == SliceType.ISS:
+            self._recon_ss(maps, leaves, resi_y, resi_cb, resi_cr)
+        else:
+            self._recon(maps, leaves, resi_y, resi_cb, resi_cr)
 
     def _recon(self, maps, leaves, resi_y, resi_cb, resi_cr) -> None:
         sps = self.sps
@@ -137,6 +145,71 @@ class Decoder:
         if not self.pps.deblocking_disabled:
             from hevc_hop_tpu.common import rom as _rom
             qp_c = _rom.chroma_qp_from_luma(self._cur_qp)
+            ry, rcb, rcr = deblock.deblock_frame(
+                ry, rcb, rcr, jnp.asarray(maps.tu4), qp=self._cur_qp,
+                qp_c=qp_c, bit_depth=bd,
+                beta_off=self.pps.beta_offset_div2,
+                tc_off=self.pps.tc_offset_div2)
+        self.pictures.append((np.asarray(ry, np.int32),
+                              np.asarray(rcb, np.int32),
+                              np.asarray(rcr, np.int32)))
+
+    def _recon_ss(self, maps, leaves, resi_y, resi_cb, resi_cr) -> None:
+        """ISS reconstruction: MV-aware wavefront over intra + SS CUs.
+
+        Mirror of TDecCu.cpp:454-476 (recon feeding the SS ref) — the
+        schedule is built from the ACTUAL coded MV dependency rects, so
+        independent CUs batch together regardless of z distance.
+        """
+        from hevc_hop_tpu.models import ss_scan
+        sps = self.sps
+        w, h, bd = sps.pic_width, sps.pic_height, sps.bit_depth
+
+        arr = np.array(leaves, np.int32)
+        rects = np.zeros((len(leaves), 4), np.int32)
+        for i, (x, y, log2) in enumerate(leaves):
+            if maps.pred4[y // 4, x // 4] == 0:   # inter (SS)
+                n = 1 << log2
+                mvx = int(maps.mv4x[y // 4, x // 4]) >> 2
+                mvy = int(maps.mv4y[y // 4, x // 4]) >> 2
+                f = ss_scan.IFM
+                rects[i] = (x + mvx - f, y + mvy - f, n + 2 * f, n + 2 * f)
+        sizes, data, nsteps = ss_scan.build_schedule_ss(
+            leaves, w, h, sps.ctb_log2, radius=0, mv_rect=rects)
+
+        xs = {}
+        for log2 in sizes:
+            d = data[log2]
+            pos, valid = d["pos"], d["valid"]
+            px = np.where(valid, pos[..., 0], 0)
+            py = np.where(valid, pos[..., 1], 0)
+            modes = maps.mode4[py // 4, px // 4].astype(np.int32)
+            cm = maps.cmode8[py // 8, px // 8].astype(np.int32)
+            cmodes = np.where(cm == 36, modes, cm)
+            inter = np.where(valid, maps.pred4[py // 4, px // 4] == 0,
+                             False).astype(np.int32)
+            mvq = np.stack([maps.mv4x[py // 4, px // 4],
+                            maps.mv4y[py // 4, px // 4]], -1).astype(np.int32)
+            mvq = np.where(inter[..., None] != 0, mvq, 0)
+            xs[log2] = (jnp.asarray(pos), jnp.asarray(d["avail"]),
+                        jnp.asarray(d["availc"]),
+                        jnp.asarray(np.where(valid, modes, 0)),
+                        jnp.asarray(np.where(valid, cmodes, 0)),
+                        jnp.asarray(inter), jnp.asarray(mvq))
+
+        pad = 1 << sps.ctb_log2
+        rpy = jnp.zeros((h + pad, w), jnp.int32).at[:h].set(
+            jnp.asarray(resi_y))
+        rpcb = jnp.zeros((h // 2 + pad, w // 2), jnp.int32).at[:h // 2].set(
+            jnp.asarray(resi_cb))
+        rpcr = jnp.zeros((h // 2 + pad, w // 2), jnp.int32).at[:h // 2].set(
+            jnp.asarray(resi_cr))
+        ry, rcb, rcr = ss_scan.scan_decode_ss(
+            rpy, rpcb, rpcr, xs, sizes=sizes, bit_depth=bd,
+            strong=sps.strong_intra_smoothing, h=h)
+        ry, rcb, rcr = ry[:h], rcb[:h // 2], rcr[:h // 2]
+        if not self.pps.deblocking_disabled:
+            qp_c = rom.chroma_qp_from_luma(self._cur_qp)
             ry, rcb, rcr = deblock.deblock_frame(
                 ry, rcb, rcr, jnp.asarray(maps.tu4), qp=self._cur_qp,
                 qp_c=qp_c, bit_depth=bd,

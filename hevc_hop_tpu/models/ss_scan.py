@@ -1,0 +1,362 @@
+"""ISS/PSS wavefront scan: joint intra / self-similarity encode + decode.
+
+Capability ref: the reference's ISS slice machinery — the picture's causal
+unfiltered recon is the sole L0 reference (TComSlice.cpp:366-377), full-
+search ME over the causal area with validity filtering (TEncSearch.cpp:
+6224,6262,6320-6340), per-CU recon copied into the SS ref (TEncCu.cpp:
+870-880, TDecCu.cpp:454-476), intra/inter RD tournament (TEncCu.cpp:371).
+
+TPU-native formulation (SURVEY.md §7.1): one lax.scan over topological
+wavefront levels. Each step batches all ready CUs: 35-mode intra prediction
+AND a dense SSE cost map over every causal displacement (correlation on the
+MXU), a static z-order causality mask instead of NOT_VALID poisoning, joint
+mode selection, transform/quant/recon, scatter. The SS reference is simply
+the recon carry — no separate poisoned picture.
+
+Scheduling: the encoder orders blocks so every z-earlier block within the
+search reach is at a strictly earlier level (native wavefront_levels_ex,
+ss_range); the decoder schedules by the *actual* coded MV dependency rects,
+which is far more parallel.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from numpy.lib.stride_tricks import sliding_window_view
+
+from hevc_hop_tpu.models import partition, wavefront
+from hevc_hop_tpu.ops import interp, intra, quant, transform
+
+IFM = 4          # luma margin covering the chroma MC filter reach
+INTRA_BITS = 8.0  # flag + mode rate proxy for the SSE-domain tournament
+INTER_BITS = 6.0  # skip/merge/inter flags + refidx proxy
+
+
+# ---------------------------------------------------------------------------
+# Host-side static schedule structures
+# ---------------------------------------------------------------------------
+
+def zmax_win_px(zaddr4: np.ndarray, n: int, ifm: int = IFM) -> np.ndarray:
+    """Max z-address over every (n+2*ifm)-window, edge-extended.
+
+    Indexed by the n-block target top-left (y, x) in [0, H-n] x [0, W-n];
+    the ifm ring models the interpolation-filter margin (the reference's
+    isValidPattern half-filter margin, TComRdCost.h:430-475) with border
+    extension treated as its source edge sample.
+    """
+    zp = np.repeat(np.repeat(zaddr4, 4, 0), 4, 1)
+    zp = np.pad(zp, ifm, mode="edge")
+    k = n + 2 * ifm
+    zr = sliding_window_view(zp, k, axis=1).max(-1)
+    # z addresses fit int32 comfortably (ctu_index << 2*cshift | z)
+    return np.ascontiguousarray(
+        sliding_window_view(zr, k, axis=0).max(-1)).astype(np.int32)
+
+
+def mvd_rate_map(radius: int, n: int, mi_size: int, lam: float) -> np.ndarray:
+    """Static lambda-scaled rate proxy per displacement [D, D] (dy, dx).
+
+    Rate = min over plausible predictors (MI-grid displacements,
+    TComDataCU.cpp:2642-2712 MI merge candidates; zero) of a golomb-ish MVD
+    cost — encoder-side heuristic only, never touches the bitstream.
+    """
+    d = np.arange(-radius, radius + 1, dtype=np.int64)
+    dx = d[None, :].repeat(d.size, 0)
+    dy = d[:, None].repeat(d.size, 1)
+    preds = [(0, 0)]
+    if mi_size > 0:
+        mic = -(-n // mi_size) * mi_size
+        preds += [(-mic, 0), (0, -mic), (-mic, -mic)]
+
+    def bits(v):
+        return 1.0 + 2.0 * np.ceil(np.log2(np.abs(v) + 1.0))
+
+    rm = np.full(dx.shape, np.inf)
+    for (px, py) in preds:
+        rm = np.minimum(rm, bits(dx - px) + bits(dy - py))
+    return np.asarray(lam * (rm + INTER_BITS), np.float32)
+
+
+def build_schedule_ss(blocks, w: int, h: int, ctb_log2: int, radius: int,
+                      mv_rect: np.ndarray | None = None):
+    """Schedule tensors for ISS encode (radius > 0) or MV-aware decode
+    (mv_rect given, radius == 0).
+
+    Returns (sizes, data, nsteps); data[log2] has pos/valid/avail/availc as
+    build_schedule plus zcur [S, B] int32 (-1 for padding dummies).
+    """
+    from hevc_hop_tpu.entropy import native as _native
+    arr = np.array(blocks, np.int32)
+    levels = _native.wavefront_levels(
+        arr[:, 0], arr[:, 1], arr[:, 2], w, h, ctb_log2,
+        ss_range=(radius + IFM) if radius > 0 else 0, mv_rect=mv_rect)
+    nsteps = int(levels.max()) if len(levels) else 0
+    zplane = wavefront.zaddr4_plane(w, h, ctb_log2)
+    czplane = zplane[::2, ::2]
+    sizes = tuple(sorted({int(l) for l in arr[:, 2]}))
+    data = {}
+    order_all = {}
+    for log2 in sizes:
+        n = 1 << log2
+        sel = arr[:, 2] == log2
+        lv = levels[sel] - 1
+        pts = arr[sel][:, :2]
+        idx_orig = np.nonzero(sel)[0]
+        counts = np.bincount(lv, minlength=nsteps)
+        bmax = max(1, int(counts.max()))
+        pos = np.zeros((nsteps, bmax, 2), np.int32)
+        pos[:, :, 1] = h
+        valid = np.zeros((nsteps, bmax), bool)
+        src = np.full((nsteps, bmax), -1, np.int64)
+        slot = np.zeros(nsteps, np.int32)
+        for j in np.argsort(lv, kind="stable"):
+            s = lv[j]
+            pos[s, slot[s]] = pts[j]
+            valid[s, slot[s]] = True
+            src[s, slot[s]] = idx_orig[j]
+            slot[s] += 1
+        flat = pos.reshape(-1, 2).astype(np.int64)
+        avail = wavefront.avail_mask(flat, n, zplane, w, h)
+        avail &= valid.reshape(-1, 1)
+        availc = wavefront.avail_mask(flat // 2, n // 2, czplane,
+                                      w // 2, h // 2)
+        availc &= valid.reshape(-1, 1)
+        zcur = zplane[np.clip(pos[:, :, 1], 0, h - 1) >> 2,
+                      np.clip(pos[:, :, 0], 0, w - 1) >> 2]
+        zcur = np.where(valid, zcur, -1).astype(np.int32)
+        data[log2] = dict(
+            pos=pos, valid=valid, zcur=zcur, src=src,
+            avail=avail.reshape(nsteps, bmax, 4 * n + 1),
+            availc=availc.reshape(nsteps, bmax, 2 * n + 1))
+        order_all[log2] = idx_orig
+    return sizes, data, nsteps
+
+
+# ---------------------------------------------------------------------------
+# On-device pieces
+# ---------------------------------------------------------------------------
+
+def _block_idx(pos, n):
+    b = pos.shape[0]
+    rows = pos[:, 1:2, None] + jnp.arange(n)[None, :, None]
+    cols = pos[:, 0:1, None].transpose(0, 2, 1) + jnp.arange(n)[None, None, :]
+    return (jnp.broadcast_to(rows, (b, n, n)),
+            jnp.broadcast_to(cols, (b, n, n)))
+
+
+def _gather_chains(plane, pos, n):
+    coords = jnp.asarray(
+        wavefront.chain_coords(np.zeros((1, 2), np.int64), n))[0]
+    cx = pos[:, 0:1] + coords[None, :, 0]
+    cy = pos[:, 1:2] + coords[None, :, 1]
+    return plane[jnp.clip(cy, 0, plane.shape[0] - 1),
+                 jnp.clip(cx, 0, plane.shape[1] - 1)]
+
+
+def _ss_search(recon, org, pos, zcur, zmaxw, rate_map, n, radius, w, h):
+    """Masked full-search SSE cost map -> (mv_px [B,2], cost [B], pred)."""
+    b = pos.shape[0]
+    d = 2 * radius + 1
+    # causal validity of each displacement
+    dr = jnp.arange(-radius, radius + 1)
+    ty = pos[:, 1, None, None] + dr[None, :, None]
+    tx = pos[:, 0, None, None] + dr[None, None, :]
+    inb = (ty >= 0) & (tx >= 0) & (ty + n <= h) & (tx + n <= w)
+    tyc = jnp.clip(ty, 0, h - n)
+    txc = jnp.clip(tx, 0, w - n)
+    zm = zmaxw[tyc, txc]
+    mask = inb & (zm < zcur[:, None, None])
+
+    # SSE map via MXU correlation
+    wy0 = pos[:, 1] - radius
+    wx0 = pos[:, 0] - radius
+    wsz = n + 2 * radius
+    ry = wy0[:, None, None] + jnp.arange(wsz)[None, :, None]
+    rx = wx0[:, None, None] + jnp.arange(wsz)[None, None, :]
+    win = recon[jnp.clip(ry, 0, h - 1), jnp.clip(rx, 0, recon.shape[1] - 1)]
+    wf = win.astype(jnp.float32)
+    of = org.astype(jnp.float32)
+
+    def corr1(wv, kv):
+        return jax.lax.conv_general_dilated(
+            wv[None, None], kv[None, None], (1, 1), "VALID",
+            preferred_element_type=jnp.float32)[0, 0]
+
+    corr = jax.vmap(corr1)(wf, of)
+    ones = jnp.ones((n, n), jnp.float32)
+    ref2 = jax.lax.conv_general_dilated(
+        (wf * wf)[:, None], ones[None, None], (1, 1), "VALID",
+        preferred_element_type=jnp.float32)[:, 0]
+    org2 = jnp.sum(of * of, axis=(1, 2))[:, None, None]
+    sse = org2 + ref2 - 2.0 * corr  # f32: encoder decision only
+
+    big = jnp.float32(3.0e38)
+    cost = jnp.where(mask, sse + rate_map[None], big)
+    flat = cost.reshape(b, -1)
+    idx = jnp.argmin(flat, axis=1)
+    best = jnp.take_along_axis(flat, idx[:, None], 1)[:, 0]
+    mvy = (idx // d).astype(jnp.int32) - radius
+    mvx = (idx % d).astype(jnp.int32) - radius
+    # prediction = full-pel slice out of the gathered window
+    ar = jnp.arange(n)
+    pry = (mvy + radius)[:, None, None] + ar[None, :, None]
+    prx = (mvx + radius)[:, None, None] + ar[None, None, :]
+    bi = jnp.arange(b)[:, None, None]
+    pred = win[bi, pry, prx]
+    return jnp.stack([mvx, mvy], -1), best, pred
+
+
+def _tqr(org, pred, n, qp, bit_depth, intra_flag=None):
+    """Transform/quant/dequant/inv-transform/recon for one batch."""
+    log2 = n.bit_length() - 1
+    resi = org - pred
+    use_dst = False  # DST only for 4x4 intra luma; ISS CUs are >= 8
+    coef = transform.fwd_transform(resi, bit_depth, use_dst)
+    lev = quant.quant(coef, qp, log2, bit_depth, True)
+    deq = quant.dequant(lev, qp, log2, bit_depth)
+    rq = transform.inv_transform(deq, bit_depth, use_dst)
+    rec = jnp.clip(pred + rq, 0, (1 << bit_depth) - 1)
+    cbf = jnp.any(lev != 0, axis=(1, 2))
+    return lev, rec, cbf
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sizes", "qp", "qp_c", "bit_depth", "strong", "w", "h", "radius"))
+def scan_encode_iss(org_y, org_cb, org_cr, xs, zmaxw, rate_maps,
+                    sizes: tuple, qp: int, qp_c: int, bit_depth: int,
+                    strong: bool, w: int, h: int, radius: int):
+    """ISS whole-frame encode as one scan.
+
+    xs: {log2: (pos [S,B,2], avail, availc, zcur [S,B])}
+    zmaxw: {log2: [H-n+1, W-n+1] int64}; rate_maps: {log2: [D, D] int64}.
+    Returns recon + coef planes and per-step outputs
+    outs[log2] = (inter [S,B] bool, mv_px [S,B,2], intra_mode, cbf y/cb/cr).
+    """
+    ry = jnp.zeros_like(org_y)
+    rcb = jnp.zeros_like(org_cb)
+    rcr = jnp.zeros_like(org_cr)
+    cy_ = jnp.zeros_like(org_y)
+    ccb = jnp.zeros_like(org_cb)
+    ccr = jnp.zeros_like(org_cr)
+    lam_i = int(partition.full_lambda(qp) * INTRA_BITS)
+
+    def step(carry, x):
+        ry, rcb, rcr, cy_, ccb, ccr = carry
+        outs = {}
+        for log2 in sizes:
+            n = 1 << log2
+            m = n // 2
+            pos, avail, availc, zcur = x[log2]
+            rows, cols = _block_idx(pos, n)
+            org = org_y[rows, cols]
+
+            # intra candidate
+            chains = intra.substitute_refs(_gather_chains(ry, pos, n),
+                                           avail, bit_depth)
+            preds = intra.predict_all_modes(chains, n, 0, bit_depth, strong)
+            scosts = intra.satd(org[:, None], preds)
+            imode = jnp.argmin(scosts, axis=1).astype(jnp.int32)
+            ipred = jnp.take_along_axis(
+                preds, imode[:, None, None, None], axis=1)[:, 0]
+            icost = jnp.sum((org - ipred).astype(jnp.float32) ** 2,
+                            axis=(1, 2)) + lam_i
+
+            # SS candidate
+            mv, sscost, sspred = _ss_search(
+                ry, org, pos, zcur, zmaxw[log2], rate_maps[log2],
+                n, radius, w, h)
+            inter = sscost < icost
+            pred = jnp.where(inter[:, None, None], sspred, ipred)
+            lev, rec, cbf = _tqr(org, pred, n, qp, bit_depth)
+            ry = ry.at[rows, cols].set(rec)
+            cy_ = cy_.at[rows, cols].set(lev)
+
+            # chroma: DM intra vs SS MC, same decision as luma
+            cpos = pos // 2
+            cpos = cpos.at[:, 1].set(
+                jnp.where(pos[:, 1] >= h, h // 2, cpos[:, 1]))
+            crows, ccols = _block_idx(cpos, m)
+
+            def chroma_plane(rc, cc, orgp):
+                orgc = orgp[crows, ccols]
+                ch = intra.substitute_refs(_gather_chains(rc, cpos, m),
+                                           availc, bit_depth)
+                cpreds = intra.predict_all_modes(ch, m, 1, bit_depth, strong)
+                cip = jnp.take_along_axis(
+                    cpreds, imode[:, None, None, None], axis=1)[:, 0]
+                cmc = interp.chroma_mc(rc, cpos, mv, m, h // 2, bit_depth)
+                cpred = jnp.where(inter[:, None, None], cmc, cip)
+                clev, crec, ccbf = _tqr(orgc, cpred, m, qp_c, bit_depth)
+                rc = rc.at[crows, ccols].set(crec)
+                cc = cc.at[crows, ccols].set(clev)
+                return rc, cc, ccbf
+
+            rcb, ccb, cbf_b = chroma_plane(rcb, ccb, org_cb)
+            rcr, ccr, cbf_r = chroma_plane(rcr, ccr, org_cr)
+            outs[log2] = (inter, mv, imode, cbf, cbf_b, cbf_r)
+        return (ry, rcb, rcr, cy_, ccb, ccr), outs
+
+    carry, outs = jax.lax.scan(step, (ry, rcb, rcr, cy_, ccb, ccr), xs)
+    ry, rcb, rcr, cy_, ccb, ccr = carry
+    return ry, rcb, rcr, cy_, ccb, ccr, outs
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sizes", "bit_depth", "strong", "h"))
+def scan_decode_ss(resi_y, resi_cb, resi_cr, xs, sizes: tuple,
+                   bit_depth: int, strong: bool, h: int):
+    """ISS/PSS-within-frame decode scan.
+
+    xs: {log2: (pos, avail, availc, modes, cmodes, inter [S,B] int32,
+    mv_qpel [S,B,2])}. Inter luma runs through the full quarter-pel 8-tap
+    path (zero-phase is exactly a copy), chroma through the 4-tap path.
+    """
+    ry = jnp.zeros_like(resi_y)
+    rcb = jnp.zeros_like(resi_cb)
+    rcr = jnp.zeros_like(resi_cr)
+
+    def step(carry, x):
+        ry, rcb, rcr = carry
+        for log2 in sizes:
+            n = 1 << log2
+            m = n // 2
+            pos, avail, availc, modes, cmodes, inter, mvq = x[log2]
+            chains = intra.substitute_refs(_gather_chains(ry, pos, n),
+                                           avail, bit_depth)
+            preds = intra.predict_all_modes(chains, n, 0, bit_depth, strong)
+            ipred = jnp.take_along_axis(
+                preds, modes[:, None, None, None], axis=1)[:, 0]
+            mcp = interp.luma_mc(ry, pos, mvq, n, h, bit_depth)
+            pred = jnp.where(inter[:, None, None] != 0, mcp, ipred)
+            rows, cols = _block_idx(pos, n)
+            rec = jnp.clip(pred + resi_y[rows, cols],
+                           0, (1 << bit_depth) - 1)
+            ry = ry.at[rows, cols].set(rec)
+
+            cpos = pos // 2
+            cpos = cpos.at[:, 1].set(
+                jnp.where(pos[:, 1] >= h, h // 2, cpos[:, 1]))
+            crows, ccols = _block_idx(cpos, m)
+            mvpx = mvq >> 2
+
+            def chroma_plane(rc, resip):
+                ch = intra.substitute_refs(_gather_chains(rc, cpos, m),
+                                           availc, bit_depth)
+                cpreds = intra.predict_all_modes(ch, m, 1, bit_depth, strong)
+                cip = jnp.take_along_axis(
+                    cpreds, cmodes[:, None, None, None], axis=1)[:, 0]
+                cmc = interp.chroma_mc(rc, cpos, mvpx, m, h // 2, bit_depth)
+                cpred = jnp.where(inter[:, None, None] != 0, cmc, cip)
+                crec = jnp.clip(cpred + resip[crows, ccols],
+                                0, (1 << bit_depth) - 1)
+                return rc.at[crows, ccols].set(crec)
+
+            rcb = chroma_plane(rcb, resi_cb)
+            rcr = chroma_plane(rcr, resi_cr)
+        return (ry, rcb, rcr), None
+
+    (ry, rcb, rcr), _ = jax.lax.scan(step, (ry, rcb, rcr), xs)
+    return ry, rcb, rcr

@@ -1,0 +1,63 @@
+"""End-to-end ISS (self-similarity / holoscopic) coding: encode -> decode ->
+bit-exact recon hash, on synthetic lenslet content. The codec-standard
+integration oracle (SURVEY.md §4.1: encoder recon must equal decoder out)."""
+import numpy as np
+import pytest
+
+from hevc_hop_tpu.models.decoder import Decoder
+from hevc_hop_tpu.models.encoder import EncoderConfig, IntraEncoder
+from hevc_hop_tpu.models.ss_encoder import HoloConfig, HoloEncoder
+
+
+def synth_lenslet(w, h, mi, seed=3):
+    """Micro-image grid of period mi with slow drift + noise."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(40, 200, (mi, mi))
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (base[yy % mi, xx % mi] + 0.2 * xx + 0.1 * yy
+         + rng.normal(0, 2, (h, w))).clip(0, 255).astype(np.int32)
+    cb = (128 + base[yy[::2, ::2] % mi, xx[::2, ::2] % mi] // 8
+          ).clip(0, 255).astype(np.int32)
+    cr = (128 - base[(yy[::2, ::2] + 5) % mi, xx[::2, ::2] % mi] // 8
+          ).clip(0, 255).astype(np.int32)
+    return y, cb, cr
+
+
+@pytest.mark.parametrize("w,h,cu_log2,qp,mi,sr", [
+    (96, 64, 4, 32, 13, 32),
+    (64, 64, 3, 27, 8, 24),
+    (128, 96, 4, 37, 15, 32),
+])
+def test_iss_roundtrip_bit_exact(w, h, cu_log2, qp, mi, sr):
+    y, cb, cr = synth_lenslet(w, h, mi, seed=w + qp)
+    enc = HoloEncoder(HoloConfig(width=w, height=h, qp=qp, cu_log2=cu_log2,
+                                 search_range=sr, mi_size=mi))
+    stream = enc.encode_frame(y, cb, cr)
+    dec = Decoder()
+    dec.decode_stream(stream)
+    assert dec.picture_md5() == enc.recon_md5()
+
+
+def test_iss_beats_intra_on_lenslet():
+    """SS prediction must exploit micro-image redundancy: ISS stream
+    meaningfully smaller than the all-intra stream at equal QP."""
+    w, h, mi, qp = 96, 64, 13, 32
+    y, cb, cr = synth_lenslet(w, h, mi)
+    enc = HoloEncoder(HoloConfig(width=w, height=h, qp=qp, cu_log2=4,
+                                 search_range=32, mi_size=mi))
+    iss = enc.encode_frame(y, cb, cr)
+    ienc = IntraEncoder(EncoderConfig(width=w, height=h, qp=qp, cu_log2=4))
+    intra = ienc.encode_frame(y, cb, cr)
+    assert len(iss) < 0.6 * len(intra), (len(iss), len(intra))
+
+
+def test_iss_no_deblock_roundtrip():
+    w, h = 64, 64
+    y, cb, cr = synth_lenslet(w, h, 13, seed=9)
+    enc = HoloEncoder(HoloConfig(width=w, height=h, qp=30, cu_log2=4,
+                                 search_range=24, mi_size=13,
+                                 deblocking=False))
+    stream = enc.encode_frame(y, cb, cr)
+    dec = Decoder()
+    dec.decode_stream(stream)
+    assert dec.picture_md5() == enc.recon_md5()
