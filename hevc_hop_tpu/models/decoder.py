@@ -172,8 +172,15 @@ class Decoder:
                 n = 1 << log2
                 mvx = int(maps.mv4x[y // 4, x // 4]) >> 2
                 mvy = int(maps.mv4y[y // 4, x // 4]) >> 2
-                f = ss_scan.IFM
-                rects[i] = (x + mvx - f, y + mvy - f, n + 2 * f, n + 2 * f)
+                if maps.gt8[y // 8, x // 8]:
+                    # GT warp reads the clamped 2n window (+chroma slack)
+                    f = 2
+                    rects[i] = (x + mvx - n // 2 - f, y + mvy - n // 2 - f,
+                                2 * n + 2 * f, 2 * n + 2 * f)
+                else:
+                    f = ss_scan.IFM
+                    rects[i] = (x + mvx - f, y + mvy - f,
+                                n + 2 * f, n + 2 * f)
         sizes, data, nsteps = ss_scan.build_schedule_ss(
             leaves, w, h, sps.ctb_log2, radius=0, mv_rect=rects)
 
@@ -191,11 +198,16 @@ class Decoder:
             mvq = np.stack([maps.mv4x[py // 4, px // 4],
                             maps.mv4y[py // 4, px // 4]], -1).astype(np.int32)
             mvq = np.where(inter[..., None] != 0, mvq, 0)
+            gtf = np.where(valid, maps.gt8[py // 8, px // 8],
+                           0).astype(np.int32)
+            gtv = maps.gtv8[py // 8, px // 8].astype(np.int32)
+            gtv = np.where(gtf[..., None] != 0, gtv, 0)
             xs[log2] = (jnp.asarray(pos), jnp.asarray(d["avail"]),
                         jnp.asarray(d["availc"]),
                         jnp.asarray(np.where(valid, modes, 0)),
                         jnp.asarray(np.where(valid, cmodes, 0)),
-                        jnp.asarray(inter), jnp.asarray(mvq))
+                        jnp.asarray(inter), jnp.asarray(mvq),
+                        jnp.asarray(gtf), jnp.asarray(gtv))
 
         pad = 1 << sps.ctb_log2
         rpy = jnp.zeros((h + pad, w), jnp.int32).at[:h].set(

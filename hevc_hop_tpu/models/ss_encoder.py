@@ -38,6 +38,7 @@ class HoloConfig:
     cu_log2: int = 4            # uniform CU grid (quadtree for ISS: TODO)
     search_range: int = 32      # SS full-search radius (SearchRange cfg)
     mi_size: int = 0            # micro-image size (MIsize cfg; 0 = off)
+    gt: bool = True             # GT/HOP corner-warp refinement (IT_GT)
     strong_intra_smoothing: bool = True
     deblocking: bool = True
 
@@ -83,13 +84,16 @@ class HoloEncoder:
 
         lam = partition.full_lambda(qp)
         zplane4 = ss_scan.wavefront.zaddr4_plane(w, h, cfg.ctb_log2)
-        zmaxw, rate_maps, xs = {}, {}, {}
+        zmaxw, rate_maps, zmax2n, xs = {}, {}, {}, {}
         for log2 in sizes:
             nn = 1 << log2
             d = data[log2]
             zmaxw[log2] = jnp.asarray(ss_scan.zmax_win_px(zplane4, nn))
             rate_maps[log2] = jnp.asarray(
                 ss_scan.mvd_rate_map(radius, nn, cfg.mi_size, lam))
+            zmax2n[log2] = jnp.asarray(
+                ss_scan.zmax_win_px(zplane4, 2 * nn, ifm=2)) if cfg.gt \
+                else jnp.zeros((1, 1), jnp.int32)
             xs[log2] = (jnp.asarray(d["pos"]), jnp.asarray(d["avail"]),
                         jnp.asarray(d["availc"]), jnp.asarray(d["zcur"]))
 
@@ -102,9 +106,10 @@ class HoloEncoder:
             jnp.asarray(cr, jnp.int32))
 
         ry, rcb, rcr, coef_y, coef_cb, coef_cr, outs = ss_scan.scan_encode_iss(
-            org_y, org_cb, org_cr, xs, zmaxw, rate_maps, sizes=sizes,
-            qp=qp, qp_c=qp_c, bit_depth=cfg.bit_depth,
-            strong=cfg.strong_intra_smoothing, w=w, h=h, radius=radius)
+            org_y, org_cb, org_cr, xs, zmaxw, rate_maps, zmax2n,
+            sizes=sizes, qp=qp, qp_c=qp_c, bit_depth=cfg.bit_depth,
+            strong=cfg.strong_intra_smoothing, w=w, h=h, radius=radius,
+            gt=cfg.gt)
 
         maps = native.SliceMaps(w, h, cfg.ctb_log2, max_hier_depth=0)
         maps.slice_type = int(SliceType.ISS)
@@ -118,7 +123,7 @@ class HoloEncoder:
         for log2 in sizes:
             nn = 1 << log2
             d = data[log2]
-            inter, mv, imode, cbf, cbf_b, cbf_r = outs[log2]
+            inter, mv, imode, cbf, cbf_b, cbf_r, gtflag, gtc = outs[log2]
             vm = d["valid"].ravel()
             px = d["pos"][..., 0].ravel()[vm]
             py = d["pos"][..., 1].ravel()[vm]
@@ -126,6 +131,8 @@ class HoloEncoder:
             mvx = np.asarray(mv[..., 0]).reshape(-1)[vm] * 4
             mvy = np.asarray(mv[..., 1]).reshape(-1)[vm] * 4
             mo = np.asarray(imode).ravel()[vm]
+            gf = np.asarray(gtflag).ravel()[vm]
+            gv = np.asarray(gtc).reshape(-1, 6)[vm]
             cy_ = np.asarray(cbf).ravel()[vm].astype(np.uint8)
             cbv = np.asarray(cbf_b).ravel()[vm].astype(np.uint8)
             crv = np.asarray(cbf_r).ravel()[vm].astype(np.uint8)
@@ -144,6 +151,10 @@ class HoloEncoder:
                 for dx in range(nn // 8):
                     maps.cbf8_cb[py // 8 + dy, px // 8 + dx] = cbv
                     maps.cbf8_cr[py // 8 + dy, px // 8 + dx] = crv
+            # GT flag + 3 coded corner vectors live at the CU's first 8x8
+            maps.gt8[py // 8, px // 8] = gf.astype(np.uint8)
+            maps.gtv8[py // 8, px // 8] = \
+                np.where(gf[:, None], gv, 0).astype(np.int16)
 
         ry, rcb, rcr = ry[:h], rcb[:h // 2], rcr[:h // 2]
         if cfg.deblocking:

@@ -156,8 +156,15 @@ def _gather_chains(plane, pos, n):
                  jnp.clip(cx, 0, plane.shape[1] - 1)]
 
 
-def _ss_search(recon, org, pos, zcur, zmaxw, rate_map, n, radius, w, h):
-    """Masked full-search SSE cost map -> (mv_px [B,2], cost [B], pred)."""
+def _ss_search(recon, org, pos, zcur, zmaxw, rate_map, n, radius, w, h,
+               zmax2n=None):
+    """Masked full-search SSE cost map.
+
+    Returns (mv_px [B,2], cost [B], pred [B,n,n], rate [B],
+    gt_anchor [B,2], gt_rate [B], gt_any [B]): the gt_* outputs are the
+    best displacement whose whole 2n GT window is causal (the anchor set
+    of xPatternSearchGT, TEncSearch.cpp:5093-5141) when zmax2n is given.
+    """
     b = pos.shape[0]
     d = 2 * radius + 1
     # causal validity of each displacement
@@ -198,6 +205,7 @@ def _ss_search(recon, org, pos, zcur, zmaxw, rate_map, n, radius, w, h):
     flat = cost.reshape(b, -1)
     idx = jnp.argmin(flat, axis=1)
     best = jnp.take_along_axis(flat, idx[:, None], 1)[:, 0]
+    rate = rate_map.reshape(-1)[idx]
     mvy = (idx // d).astype(jnp.int32) - radius
     mvx = (idx % d).astype(jnp.int32) - radius
     # prediction = full-pel slice out of the gathered window
@@ -206,7 +214,151 @@ def _ss_search(recon, org, pos, zcur, zmaxw, rate_map, n, radius, w, h):
     prx = (mvx + radius)[:, None, None] + ar[None, None, :]
     bi = jnp.arange(b)[:, None, None]
     pred = win[bi, pry, prx]
-    return jnp.stack([mvx, mvy], -1), best, pred
+    mv = jnp.stack([mvx, mvy], -1)
+
+    if zmax2n is None:
+        zero2 = jnp.zeros((b, 2), jnp.int32)
+        return (mv, best, pred, rate, zero2,
+                jnp.zeros(b, jnp.float32), jnp.zeros(b, bool))
+
+    # GT anchor: best displacement whose full 2n window (+2 px chroma
+    # slack) is causal and in-frame
+    wyy = ty - n // 2
+    wxx = tx - n // 2
+    inb2 = ((wxx >= 2) & (wyy >= 2)
+            & (wxx + 2 * n + 2 <= w) & (wyy + 2 * n + 2 <= h))
+    zm2 = zmax2n[jnp.clip(wyy, 0, h - 2 * n), jnp.clip(wxx, 0, w - 2 * n)]
+    mask2 = inb2 & (zm2 < zcur[:, None, None])
+    cost2 = jnp.where(mask2, sse + rate_map[None], big).reshape(b, -1)
+    idx2 = jnp.argmin(cost2, axis=1)
+    gt_any = jnp.any(mask2, axis=(1, 2))
+    gt_rate = rate_map.reshape(-1)[idx2]
+    amvy = (idx2 // d).astype(jnp.int32) - radius
+    amvx = (idx2 % d).astype(jnp.int32) - radius
+    anchor = jnp.stack([amvx, amvy], -1)
+    return mv, best, pred, rate, anchor, gt_rate, gt_any
+
+
+# ---------------------------------------------------------------------------
+# GT (geometric transform / HOP) prediction + search
+# ---------------------------------------------------------------------------
+
+def _gt4(gtc: jnp.ndarray) -> jnp.ndarray:
+    """Coded corners [..., 3, 2] (TL, TR, BR) -> full [..., 4, 2] with the
+    affine-derived BL = TL + BR - TR (IT_GT_AFFINE: only 3 corner vectors
+    are coded, TypeDef.h:212; TDecSbac.cpp:1329-1345)."""
+    bl = gtc[..., 0, :] + gtc[..., 2, :] - gtc[..., 1, :]
+    return jnp.concatenate([gtc, bl[..., None, :]], axis=-2)
+
+
+def _gt_homography(gtc: jnp.ndarray, n: int, scale: float = 1.0,
+                   shift=None) -> jnp.ndarray:
+    """Affine homography params from coded corners for an n-block whose
+    2n-window grid is GRID*n. scale=0.5 + shift for chroma (the residual
+    half-pel of the luma MV folds into the translation terms h6/h7 —
+    exact for affine warps, ref xPredGTChroma TComPrediction.cpp:1351)."""
+    from hevc_hop_tpu.ops import warp as warpop
+    g4 = _gt4(gtc).astype(jnp.float32) * scale
+    g = warpop.GRID * n
+    base_x = jnp.asarray([0, g - 1, g - 1, 0], jnp.float32)
+    base_y = jnp.asarray([0, 0, g - 1, g - 1], jnp.float32)
+    h = warpop.calc_param_projective(g4[..., 0] + base_x,
+                                     g4[..., 1] + base_y, g, g)
+    if shift is not None:
+        h = h.at[..., 6].add(shift[..., 0])
+        h = h.at[..., 7].add(shift[..., 1])
+    return h
+
+
+def _gt_window(plane, pos, mv_px, n, h_clip):
+    """Gather the [B, 2n, 2n] GT reference window centered on pos+mv."""
+    y0 = pos[:, 1] + mv_px[:, 1] - n // 2
+    x0 = pos[:, 0] + mv_px[:, 0] - n // 2
+    ry = y0[:, None, None] + jnp.arange(2 * n)[None, :, None]
+    rx = x0[:, None, None] + jnp.arange(2 * n)[None, None, :]
+    return plane[jnp.clip(ry, 0, h_clip - 1),
+                 jnp.clip(rx, 0, plane.shape[1] - 1)]
+
+
+def gt_pred_luma(plane, pos, mv_px, gtc, n, h_clip, bit_depth):
+    """Decoder-grade GT luma prediction (shared by encoder tournament)."""
+    from hevc_hop_tpu.ops import warp as warpop
+    win = _gt_window(plane, pos, mv_px, n, h_clip)
+    h = _gt_homography(gtc, n)
+    return warpop.warp_blocks(win, h, n, bit_depth)
+
+
+def gt_pred_chroma(plane, cpos, mv_px, gtc, m, h_clip, bit_depth):
+    """GT chroma: scaled corners + half-pel translation fold-in."""
+    from hevc_hop_tpu.ops import warp as warpop
+    mvc = mv_px >> 1
+    frac = (mv_px & 1).astype(jnp.float32) * 0.5
+    win = _gt_window(plane, cpos, mvc, m, h_clip)
+    h = _gt_homography(gtc, m, scale=0.5, shift=frac)
+    return warpop.warp_blocks(win, h, m, bit_depth)
+
+
+def _gt_bits(gtc: jnp.ndarray) -> jnp.ndarray:
+    """Rate proxy for 3 coded corner vectors (code_gt golomb-ish)."""
+    v = jnp.abs(gtc.astype(jnp.float32))
+    return jnp.sum(1.0 + 2.0 * jnp.ceil(jnp.log2(v + 1.0)),
+                   axis=(-2, -1))
+
+
+def _gt_search(recon, org, pos, mv, n, lam, h, bit_depth, iters: int = 6):
+    """Hierarchical diamond corner search (TEncSearch.cpp:4686/5093
+    xPatternSearchGT, diamond IT_GT_SEARCH=2, window-halving NSS) around a
+    causally-valid anchor MV.
+
+    Batched: each iteration evaluates moving any one coded corner by +-s on
+    either axis (12 candidates) + keep (1), all as one warp batch.
+    Returns (gtc [B,3,2] int32, pred [B,n,n], cost [B])."""
+    from hevc_hop_tpu.ops import warp as warpop
+    b = pos.shape[0]
+    win = _gt_window(recon, pos, mv, n, h)
+    of = org.astype(jnp.float32)
+
+    # candidate displacement table (static): keep + 3 corners x 4 dirs
+    dirs = np.array([(1, 0), (-1, 0), (0, 1), (0, -1)], np.int32)
+    moves = np.zeros((13, 3, 2), np.int32)
+    for c in range(3):
+        for d in range(4):
+            moves[1 + c * 4 + d, c] = dirs[d]
+    moves_j = jnp.asarray(moves)
+
+    def eval_cands(gtk):
+        """gtk: [B, K, 3, 2] -> (sse+rate [B, K], preds [B, K, n, n])."""
+        k = gtk.shape[1]
+        hparams = _gt_homography(gtk, n)
+        winb = jnp.broadcast_to(win[:, None], (b, k, 2 * n, 2 * n))
+        preds = warpop.warp_blocks(
+            winb.reshape(b * k, 2 * n, 2 * n),
+            hparams.reshape(b * k, 9), n, bit_depth).reshape(b, k, n, n)
+        sse = jnp.sum((of[:, None] - preds.astype(jnp.float32)) ** 2,
+                      axis=(2, 3))
+        return sse + lam * _gt_bits(gtk), preds
+
+    gtc = jnp.zeros((b, 3, 2), jnp.int32)
+    cost0, pred0 = eval_cands(gtc[:, None])
+    best_cost = cost0[:, 0]
+    best_pred = pred0[:, 0]
+    s = n // 2
+    for _ in range(iters):
+        cands = gtc[:, None] + moves_j[None] * s
+        costs, preds = eval_cands(cands)
+        ki = jnp.argmin(costs, axis=1)
+        c_new = jnp.take_along_axis(costs, ki[:, None], 1)[:, 0]
+        upd = c_new < best_cost
+        gtc = jnp.where(upd[:, None, None],
+                        jnp.take_along_axis(
+                            cands, ki[:, None, None, None], 1)[:, 0], gtc)
+        best_pred = jnp.where(
+            upd[:, None, None],
+            jnp.take_along_axis(preds, ki[:, None, None, None], 1)[:, 0],
+            best_pred)
+        best_cost = jnp.minimum(best_cost, c_new)
+        s = max(1, s // 2)
+    return gtc, best_pred, best_cost
 
 
 def _tqr(org, pred, n, qp, bit_depth, intra_flag=None):
@@ -224,16 +376,17 @@ def _tqr(org, pred, n, qp, bit_depth, intra_flag=None):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "sizes", "qp", "qp_c", "bit_depth", "strong", "w", "h", "radius"))
-def scan_encode_iss(org_y, org_cb, org_cr, xs, zmaxw, rate_maps,
+    "sizes", "qp", "qp_c", "bit_depth", "strong", "w", "h", "radius", "gt"))
+def scan_encode_iss(org_y, org_cb, org_cr, xs, zmaxw, rate_maps, zmax2n,
                     sizes: tuple, qp: int, qp_c: int, bit_depth: int,
-                    strong: bool, w: int, h: int, radius: int):
+                    strong: bool, w: int, h: int, radius: int,
+                    gt: bool = False):
     """ISS whole-frame encode as one scan.
 
     xs: {log2: (pos [S,B,2], avail, availc, zcur [S,B])}
-    zmaxw: {log2: [H-n+1, W-n+1] int64}; rate_maps: {log2: [D, D] int64}.
-    Returns recon + coef planes and per-step outputs
-    outs[log2] = (inter [S,B] bool, mv_px [S,B,2], intra_mode, cbf y/cb/cr).
+    zmaxw/zmax2n: {log2: static causality planes}; rate_maps: {log2: [D,D]}.
+    Returns recon + coef planes and per-step outputs outs[log2] =
+    (inter, mv_px, intra_mode, cbf y/cb/cr, gtflag, gtc [S,B,3,2]).
     """
     ry = jnp.zeros_like(org_y)
     rcb = jnp.zeros_like(org_cb)
@@ -241,7 +394,8 @@ def scan_encode_iss(org_y, org_cb, org_cr, xs, zmaxw, rate_maps,
     cy_ = jnp.zeros_like(org_y)
     ccb = jnp.zeros_like(org_cb)
     ccr = jnp.zeros_like(org_cr)
-    lam_i = int(partition.full_lambda(qp) * INTRA_BITS)
+    lam = partition.full_lambda(qp)
+    lam_i = lam * INTRA_BITS
 
     def step(carry, x):
         ry, rcb, rcr, cy_, ccb, ccr = carry
@@ -264,17 +418,33 @@ def scan_encode_iss(org_y, org_cb, org_cr, xs, zmaxw, rate_maps,
             icost = jnp.sum((org - ipred).astype(jnp.float32) ** 2,
                             axis=(1, 2)) + lam_i
 
-            # SS candidate
-            mv, sscost, sspred = _ss_search(
+            # SS candidate (+ GT anchor: best MV with a fully-causal window)
+            mv, sscost, sspred, ssrate, anchor, gtrate, gtok = _ss_search(
                 ry, org, pos, zcur, zmaxw[log2], rate_maps[log2],
-                n, radius, w, h)
-            inter = sscost < icost
-            pred = jnp.where(inter[:, None, None], sspred, ipred)
+                n, radius, w, h, zmax2n[log2] if gt else None)
+
+            # GT refinement around the anchor
+            if gt:
+                gtc, gpred, gsse = _gt_search(
+                    ry, org, pos, anchor, n, lam, h, bit_depth)
+                gcost = gsse + gtrate + lam
+                nonzero = jnp.any(gtc != 0, axis=(1, 2))
+                gtflag = (gtok & nonzero & (gcost < sscost)
+                          & (gcost < icost))
+            else:
+                gtc = jnp.zeros(pos.shape[:1] + (3, 2), jnp.int32)
+                gpred = sspred
+                gtflag = jnp.zeros(pos.shape[:1], bool)
+
+            inter = gtflag | (sscost < icost)
+            mv = jnp.where(gtflag[:, None], anchor, mv)
+            pred = jnp.where(gtflag[:, None, None], gpred,
+                             jnp.where(inter[:, None, None], sspred, ipred))
             lev, rec, cbf = _tqr(org, pred, n, qp, bit_depth)
             ry = ry.at[rows, cols].set(rec)
             cy_ = cy_.at[rows, cols].set(lev)
 
-            # chroma: DM intra vs SS MC, same decision as luma
+            # chroma: DM intra vs SS MC vs GT warp, same decision as luma
             cpos = pos // 2
             cpos = cpos.at[:, 1].set(
                 jnp.where(pos[:, 1] >= h, h // 2, cpos[:, 1]))
@@ -289,6 +459,10 @@ def scan_encode_iss(org_y, org_cb, org_cr, xs, zmaxw, rate_maps,
                     cpreds, imode[:, None, None, None], axis=1)[:, 0]
                 cmc = interp.chroma_mc(rc, cpos, mv, m, h // 2, bit_depth)
                 cpred = jnp.where(inter[:, None, None], cmc, cip)
+                if gt:
+                    cgt = gt_pred_chroma(rc, cpos, mv, gtc, m, h // 2,
+                                         bit_depth)
+                    cpred = jnp.where(gtflag[:, None, None], cgt, cpred)
                 clev, crec, ccbf = _tqr(orgc, cpred, m, qp_c, bit_depth)
                 rc = rc.at[crows, ccols].set(crec)
                 cc = cc.at[crows, ccols].set(clev)
@@ -296,7 +470,7 @@ def scan_encode_iss(org_y, org_cb, org_cr, xs, zmaxw, rate_maps,
 
             rcb, ccb, cbf_b = chroma_plane(rcb, ccb, org_cb)
             rcr, ccr, cbf_r = chroma_plane(rcr, ccr, org_cr)
-            outs[log2] = (inter, mv, imode, cbf, cbf_b, cbf_r)
+            outs[log2] = (inter, mv, imode, cbf, cbf_b, cbf_r, gtflag, gtc)
         return (ry, rcb, rcr, cy_, ccb, ccr), outs
 
     carry, outs = jax.lax.scan(step, (ry, rcb, rcr, cy_, ccb, ccr), xs)
@@ -311,8 +485,9 @@ def scan_decode_ss(resi_y, resi_cb, resi_cr, xs, sizes: tuple,
     """ISS/PSS-within-frame decode scan.
 
     xs: {log2: (pos, avail, availc, modes, cmodes, inter [S,B] int32,
-    mv_qpel [S,B,2])}. Inter luma runs through the full quarter-pel 8-tap
-    path (zero-phase is exactly a copy), chroma through the 4-tap path.
+    mv_qpel [S,B,2], gtflag [S,B] int32, gtv [S,B,6] int32)}. Inter luma
+    runs through the full quarter-pel 8-tap path (zero-phase is exactly a
+    copy), chroma through the 4-tap path; GT PUs through the warp kernels.
     """
     ry = jnp.zeros_like(resi_y)
     rcb = jnp.zeros_like(resi_cb)
@@ -323,14 +498,19 @@ def scan_decode_ss(resi_y, resi_cb, resi_cr, xs, sizes: tuple,
         for log2 in sizes:
             n = 1 << log2
             m = n // 2
-            pos, avail, availc, modes, cmodes, inter, mvq = x[log2]
+            pos, avail, availc, modes, cmodes, inter, mvq, gtf, gtv = x[log2]
+            gtc = gtv.reshape(gtv.shape[0], 3, 2)
             chains = intra.substitute_refs(_gather_chains(ry, pos, n),
                                            avail, bit_depth)
             preds = intra.predict_all_modes(chains, n, 0, bit_depth, strong)
             ipred = jnp.take_along_axis(
                 preds, modes[:, None, None, None], axis=1)[:, 0]
             mcp = interp.luma_mc(ry, pos, mvq, n, h, bit_depth)
-            pred = jnp.where(inter[:, None, None] != 0, mcp, ipred)
+            mvpx = mvq >> 2
+            gtp = gt_pred_luma(ry, pos, mvpx, gtc, n, h, bit_depth)
+            pred = jnp.where(gtf[:, None, None] != 0, gtp,
+                             jnp.where(inter[:, None, None] != 0,
+                                       mcp, ipred))
             rows, cols = _block_idx(pos, n)
             rec = jnp.clip(pred + resi_y[rows, cols],
                            0, (1 << bit_depth) - 1)
@@ -340,7 +520,6 @@ def scan_decode_ss(resi_y, resi_cb, resi_cr, xs, sizes: tuple,
             cpos = cpos.at[:, 1].set(
                 jnp.where(pos[:, 1] >= h, h // 2, cpos[:, 1]))
             crows, ccols = _block_idx(cpos, m)
-            mvpx = mvq >> 2
 
             def chroma_plane(rc, resip):
                 ch = intra.substitute_refs(_gather_chains(rc, cpos, m),
@@ -349,7 +528,11 @@ def scan_decode_ss(resi_y, resi_cb, resi_cr, xs, sizes: tuple,
                 cip = jnp.take_along_axis(
                     cpreds, cmodes[:, None, None, None], axis=1)[:, 0]
                 cmc = interp.chroma_mc(rc, cpos, mvpx, m, h // 2, bit_depth)
-                cpred = jnp.where(inter[:, None, None] != 0, cmc, cip)
+                cgt = gt_pred_chroma(rc, cpos, mvpx, gtc, m, h // 2,
+                                     bit_depth)
+                cpred = jnp.where(gtf[:, None, None] != 0, cgt,
+                                  jnp.where(inter[:, None, None] != 0,
+                                            cmc, cip))
                 crec = jnp.clip(cpred + resip[crows, ccols],
                                 0, (1 << bit_depth) - 1)
                 return rc.at[crows, ccols].set(crec)

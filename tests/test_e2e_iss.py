@@ -61,3 +61,55 @@ def test_iss_no_deblock_roundtrip():
     dec = Decoder()
     dec.decode_stream(stream)
     assert dec.picture_md5() == enc.recon_md5()
+
+
+def synth_warped_lenslet(w, h, mi, seed=5):
+    """Micro-image grid with a two-axis zoom gradient: pure translation
+    mispredicts, GT warp compensates."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(30, 220, (mi * 4, mi * 4)).astype(np.float64)
+    # box-smooth so sub-pixel warps matter
+    k = np.ones((3, 3)) / 9.0
+    for _ in range(2):
+        base = np.pad(base, 1, mode="edge")
+        base = sum(base[i:i + mi * 4, j:j + mi * 4] * k[i, j]
+                   for i in range(3) for j in range(3))
+    out = np.zeros((h, w))
+    for by in range(0, h, mi):
+        for bx in range(0, w, mi):
+            s = 1.0 + 0.06 * (bx // mi) + 0.06 * (by // mi)
+            ly, lx = np.mgrid[0:mi, 0:mi]
+            sy = np.clip(ly * s, 0, mi * 4 - 1)
+            sx = np.clip(lx * s, 0, mi * 4 - 1)
+            y0, x0 = sy.astype(int), sx.astype(int)
+            fy, fx = sy - y0, sx - x0
+            y1 = np.clip(y0 + 1, 0, mi * 4 - 1)
+            x1 = np.clip(x0 + 1, 0, mi * 4 - 1)
+            out[by:by + mi, bx:bx + mi] = (
+                (1 - fy) * ((1 - fx) * base[y0, x0] + fx * base[y0, x1])
+                + fy * ((1 - fx) * base[y1, x0] + fx * base[y1, x1]))
+    y = out.clip(0, 255).astype(np.int32)
+    cb = np.full((h // 2, w // 2), 128, np.int32)
+    cr = np.full((h // 2, w // 2), 128, np.int32)
+    return y, cb, cr
+
+
+def test_gt_roundtrip_and_engages():
+    """HOP: GT warp CUs chosen on warped-lenslet content, bit-exact decode,
+    and RD not worse than translation-only SS."""
+    w, h, mi = 96, 64, 16
+    y, cb, cr = synth_warped_lenslet(w, h, mi)
+    enc = HoloEncoder(HoloConfig(width=w, height=h, qp=32, cu_log2=4,
+                                 search_range=32, mi_size=mi, gt=True))
+    s = enc.encode_frame(y, cb, cr)
+    assert int(enc.last_maps.gt8.sum()) >= 2, "GT never chosen"
+    dec = Decoder()
+    dec.decode_stream(s)
+    assert dec.picture_md5() == enc.recon_md5()
+    enc0 = HoloEncoder(HoloConfig(width=w, height=h, qp=32, cu_log2=4,
+                                  search_range=32, mi_size=mi, gt=False))
+    s0 = enc0.encode_frame(y, cb, cr)
+    mse = ((enc.recon_yuv[0] - y) ** 2).mean()
+    mse0 = ((enc0.recon_yuv[0] - y) ** 2).mean()
+    # GT should not lose on both axes simultaneously
+    assert len(s) <= len(s0) * 1.02 and mse <= mse0 * 1.02
