@@ -76,6 +76,10 @@ class SliceHeader:
     first_slice: bool = True
     idr: bool = True
     poc: int = 0
+    # parsed P/B fields
+    ref_deltas: list = dataclasses.field(default_factory=list)
+    num_ref_wire: int = 1
+    max_merge: int = 5
     # payload byte offset where slice data (CABAC) starts
     data_offset: int = 0
 
@@ -342,11 +346,21 @@ def write_slice_header(sh: SliceHeader, sps: SPS, pps: PPS) -> BitWriter:
     w.write_ue(int(wire_type))
     if not sh.idr:
         w.write(sh.poc & 0xFFF, 12)    # pic_order_cnt_lsb
-        w.write_flag(1)                # short_term_ref_pic_set_sps_flag.. TODO
-        raise NotImplementedError("non-IDR slices TODO")
+        w.write_flag(0)                # short_term_ref_pic_set_sps_flag
+        # st_ref_pic_set(): low-delay, one negative ref at delta -1
+        w.write_ue(1)                  # num_negative_pics
+        w.write_ue(0)                  # num_positive_pics
+        w.write_ue(0)                  # delta_poc_s0_minus1 (= -1)
+        w.write_flag(1)                # used_by_curr_pic_s0_flag
+        # (long-term off in SPS; TMVP off in SPS)
     if sps.sao_enabled:
         w.write_flag(0)    # sao luma
         w.write_flag(0)    # sao chroma
+    if wire_type in (SliceType.P, SliceType.B):
+        w.write_flag(1)                # num_ref_idx_active_override_flag
+        w.write_ue(0)                  # num_ref_idx_l0_active_minus1
+        # cabac_init absent (CABAC_INIT_PRESENT forced 0, TypeDef.h:246)
+        w.write_ue(0)                  # five_minus_max_num_merge_cand
     w.write_se(sh.slice_qp - pps.init_qp)
     # deblocking override absent (override disabled in PPS)
     if not pps.deblocking_disabled or sps.sao_enabled:
@@ -371,10 +385,29 @@ def parse_slice_header(data: bytes, sps: SPS, pps: PPS, nal_type: int,
               int(SliceType.P): int(SliceType.PSS)}.get(st, st)
     sh.slice_type = st
     if not sh.idr:
-        raise NotImplementedError("non-IDR slices TODO")
+        sh.poc = r.read(12)
+        assert r.read_flag() == 0      # st_ref_pic_set_sps_flag
+        nneg = r.read_ue()
+        npos = r.read_ue()
+        sh.ref_deltas = []
+        d = 0
+        for _ in range(nneg):
+            d -= r.read_ue() + 1
+            used = r.read_flag()
+            if used:
+                sh.ref_deltas.append(d)
+        assert npos == 0, "RA/B RPS TODO"
     if sps.sao_enabled:
         r.read_flag()
         r.read_flag()
+    wire = {int(SliceType.ISS): int(SliceType.I),
+            int(SliceType.PSS): int(SliceType.P)}.get(int(st), int(st))
+    if wire in (int(SliceType.P), int(SliceType.B)):
+        if r.read_flag():              # num_ref_idx override
+            sh.num_ref_wire = r.read_ue() + 1
+        else:
+            sh.num_ref_wire = 1
+        sh.max_merge = 5 - r.read_ue()
     sh.slice_qp = r.read_se() + pps.init_qp
     if not pps.deblocking_disabled or sps.sao_enabled:
         r.read_flag()    # slice_loop_filter_across_slices_enabled_flag

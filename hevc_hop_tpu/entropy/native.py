@@ -58,15 +58,15 @@ def get_lib() -> ctypes.CDLL:
     lib.hevc_encode_slice_data_ss.argtypes = [
         u8, c, c, c, c, c, c,
         u8, u8, u8, u8, u8, u8, u8, u8, i16, i16, i16,
-        u8, u8, u8, u8, u8, i16, i16, i16, u8, c64]
+        u8, u8, u8, u8, u8, i16, i16, i16, u8, c, u8, c64]
     lib.hevc_decode_slice_data_ss.restype = c64
     lib.hevc_decode_slice_data_ss.argtypes = [
         u8, c, c, c, c, c, c, u8, c64,
         u8, u8, u8, u8, u8, u8, u8, u8, i16, i16, i16,
-        u8, u8, u8, u8, u8, i16, i16, i16]
+        u8, u8, u8, u8, u8, i16, i16, i16, u8, c]
     lib.probe_merge_list.restype = c64
     lib.probe_merge_list.argtypes = [c, c, c, c, c, u8, i16, i16,
-                                     c, c, c, i32]
+                                     c, c, c, i32, u8, c, c]
     lib.wavefront_levels.restype = c64
     lib.wavefront_levels.argtypes = [i32, i32, i32, c, c, c, c, i32]
     lib.wavefront_levels_ex.restype = c64
@@ -132,6 +132,8 @@ class SliceMaps:
         self.mv4x = np.zeros((u4h, u4w), np.int16)   # quarter-pel
         self.mv4y = np.zeros((u4h, u4w), np.int16)
         self.gtv8 = np.zeros((u8h, u8w, 6), np.int16)
+        self.ref4 = np.zeros((u4h, u4w), np.uint8)   # ref_idx_l0
+        self.num_ref = 1                             # L0 count; SS is LAST
 
     def _args(self):
         return (self.depth8, self.part8, self.mode4, self.cmode8, self.tu4,
@@ -141,7 +143,7 @@ class SliceMaps:
     def _ss_args(self):
         return self._args() + (self.pred4, self.skip8, self.merge8,
                                self.mvp8, self.gt8, self.mv4x, self.mv4y,
-                               self.gtv8)
+                               self.gtv8, self.ref4, self.num_ref)
 
 
 def encode_slice_data(ctx_states: np.ndarray, maps: SliceMaps) -> bytes:
@@ -188,11 +190,12 @@ def encode_slice_data_ss(ctx_states: np.ndarray, maps: SliceMaps) -> bytes:
 def decode_slice_data_ss(ctx_states: np.ndarray, data: bytes,
                          pic_w: int, pic_h: int, ctb_log2: int,
                          max_hier_depth: int, slice_type: int,
-                         mi_size: int) -> SliceMaps:
+                         mi_size: int, num_ref: int = 1) -> SliceMaps:
     lib = get_lib()
     maps = SliceMaps(pic_w, pic_h, ctb_log2, max_hier_depth)
     maps.slice_type = slice_type
     maps.mi_size = mi_size
+    maps.num_ref = num_ref
     buf = np.frombuffer(data, np.uint8)
     n = lib.hevc_decode_slice_data_ss(
         np.ascontiguousarray(ctx_states, np.uint8), pic_w, pic_h, ctb_log2,
@@ -204,13 +207,18 @@ def decode_slice_data_ss(ctx_states: np.ndarray, data: bytes,
 
 
 def probe_merge_amvp(pic_w, pic_h, ctb_log2, slice_type, mi_size,
-                     pred4, mv4x, mv4y, x, y, n):
-    """Returns (merge list [5,2], amvp [2,2]) quarter-pel."""
+                     pred4, mv4x, mv4y, x, y, n, ref4=None, num_ref=1,
+                     amvp_ref=0):
+    """Returns (merge list [5,3] (x, y, ref), amvp [2,2]) quarter-pel."""
     lib = get_lib()
-    out = np.zeros(14, np.int32)
+    out = np.zeros(19, np.int32)
+    if ref4 is None:
+        ref4 = np.zeros_like(pred4, dtype=np.uint8)
     lib.probe_merge_list(pic_w, pic_h, ctb_log2, slice_type, mi_size,
                          np.ascontiguousarray(pred4, np.uint8),
                          np.ascontiguousarray(mv4x, np.int16),
                          np.ascontiguousarray(mv4y, np.int16),
-                         x, y, n, out)
-    return out[:10].reshape(5, 2), out[10:14].reshape(2, 2)
+                         x, y, n, out,
+                         np.ascontiguousarray(ref4, np.uint8), num_ref,
+                         amvp_ref)
+    return out[:15].reshape(5, 3), out[15:19].reshape(2, 2)

@@ -80,12 +80,20 @@ class Decoder:
         sps, pps = self.sps, self.pps
         holo = bool(self.vps and self.vps.holo)
         sh = params.parse_slice_header(rbsp, sps, pps, nal_type, holo)
-        assert sh.slice_type in (SliceType.I, SliceType.ISS), \
-            "P/B/PSS slices TODO"
+        assert sh.slice_type in (SliceType.I, SliceType.ISS,
+                                 SliceType.PSS), "P/B slices TODO"
         w, h, bd = sps.pic_width, sps.pic_height, sps.bit_depth
         qp = sh.slice_qp
         states = ctx_layout.init_states(int(sh.slice_type), qp)
-        if sh.slice_type == SliceType.ISS:
+        if sh.slice_type == SliceType.PSS:
+            # the virtual SS ref is appended as the LAST L0 entry
+            # (TComSlice.cpp:497-506)
+            num_ref = sh.num_ref_wire + 1
+            maps = native.decode_slice_data_ss(
+                states, rbsp[sh.data_offset:], w, h, sps.ctb_log2,
+                sps.max_transform_hierarchy_depth_intra,
+                int(SliceType.PSS), self.vps.holo_mi_size, num_ref)
+        elif sh.slice_type == SliceType.ISS:
             maps = native.decode_slice_data_ss(
                 states, rbsp[sh.data_offset:], w, h, sps.ctb_log2,
                 sps.max_transform_hierarchy_depth_intra,
@@ -106,7 +114,7 @@ class Decoder:
         assert min(log2 for (_, _, log2) in leaves) >= 3, \
             "4x4-TU (NxN) streams TODO"
         self._cur_qp = qp
-        if sh.slice_type == SliceType.ISS:
+        if sh.slice_type in (SliceType.ISS, SliceType.PSS):
             self._recon_ss(maps, leaves, resi_y, resi_cb, resi_cr)
         else:
             self._recon(maps, leaves, resi_y, resi_cb, resi_cr)
@@ -165,10 +173,13 @@ class Decoder:
         sps = self.sps
         w, h, bd = sps.pic_width, sps.pic_height, sps.bit_depth
 
+        pss = maps.slice_type == int(SliceType.PSS)
+        ss_idx = maps.num_ref - 1
         arr = np.array(leaves, np.int32)
         rects = np.zeros((len(leaves), 4), np.int32)
         for i, (x, y, log2) in enumerate(leaves):
-            if maps.pred4[y // 4, x // 4] == 0:   # inter (SS)
+            if (maps.pred4[y // 4, x // 4] == 0
+                    and maps.ref4[y // 4, x // 4] == ss_idx):  # SS PU
                 n = 1 << log2
                 mvx = int(maps.mv4x[y // 4, x // 4]) >> 2
                 mvy = int(maps.mv4y[y // 4, x // 4]) >> 2
@@ -195,6 +206,8 @@ class Decoder:
             cmodes = np.where(cm == 36, modes, cm)
             inter = np.where(valid, maps.pred4[py // 4, px // 4] == 0,
                              False).astype(np.int32)
+            ssf = inter * (maps.ref4[py // 4, px // 4] == ss_idx)
+            tf = inter * (1 - (maps.ref4[py // 4, px // 4] == ss_idx))
             mvq = np.stack([maps.mv4x[py // 4, px // 4],
                             maps.mv4y[py // 4, px // 4]], -1).astype(np.int32)
             mvq = np.where(inter[..., None] != 0, mvq, 0)
@@ -202,12 +215,18 @@ class Decoder:
                            0).astype(np.int32)
             gtv = maps.gtv8[py // 8, px // 8].astype(np.int32)
             gtv = np.where(gtf[..., None] != 0, gtv, 0)
-            xs[log2] = (jnp.asarray(pos), jnp.asarray(d["avail"]),
-                        jnp.asarray(d["availc"]),
-                        jnp.asarray(np.where(valid, modes, 0)),
-                        jnp.asarray(np.where(valid, cmodes, 0)),
-                        jnp.asarray(inter), jnp.asarray(mvq),
-                        jnp.asarray(gtf), jnp.asarray(gtv))
+            common = (jnp.asarray(pos), jnp.asarray(d["avail"]),
+                      jnp.asarray(d["availc"]),
+                      jnp.asarray(np.where(valid, modes, 0)),
+                      jnp.asarray(np.where(valid, cmodes, 0)))
+            if pss:
+                xs[log2] = common + (jnp.asarray(ssf.astype(np.int32)),
+                                     jnp.asarray(tf.astype(np.int32)),
+                                     jnp.asarray(mvq), jnp.asarray(gtf),
+                                     jnp.asarray(gtv))
+            else:
+                xs[log2] = common + (jnp.asarray(inter), jnp.asarray(mvq),
+                                     jnp.asarray(gtf), jnp.asarray(gtv))
 
         pad = 1 << sps.ctb_log2
         rpy = jnp.zeros((h + pad, w), jnp.int32).at[:h].set(
@@ -216,9 +235,16 @@ class Decoder:
             jnp.asarray(resi_cb))
         rpcr = jnp.zeros((h // 2 + pad, w // 2), jnp.int32).at[:h // 2].set(
             jnp.asarray(resi_cr))
-        ry, rcb, rcr = ss_scan.scan_decode_ss(
-            rpy, rpcb, rpcr, xs, sizes=sizes, bit_depth=bd,
-            strong=sps.strong_intra_smoothing, h=h)
+        if pss:
+            py_, pcb, pcr = self.pictures[-1]
+            ry, rcb, rcr = ss_scan.scan_decode_pss(
+                rpy, rpcb, rpcr, jnp.asarray(py_), jnp.asarray(pcb),
+                jnp.asarray(pcr), xs, sizes=sizes, bit_depth=bd,
+                strong=sps.strong_intra_smoothing, h=h)
+        else:
+            ry, rcb, rcr = ss_scan.scan_decode_ss(
+                rpy, rpcb, rpcr, xs, sizes=sizes, bit_depth=bd,
+                strong=sps.strong_intra_smoothing, h=h)
         ry, rcb, rcr = ry[:h], rcb[:h // 2], rcr[:h // 2]
         if not self.pps.deblocking_disabled:
             qp_c = rom.chroma_qp_from_luma(self._cur_qp)

@@ -239,6 +239,54 @@ def _ss_search(recon, org, pos, zcur, zmaxw, rate_map, n, radius, w, h,
     return mv, best, pred, rate, anchor, gt_rate, gt_any
 
 
+def _t_search(refp, org, pos, rate_map, n, radius, w, h):
+    """Temporal full-search on a (static) reference plane — the plain
+    xPatternSearch (TEncSearch.cpp:6262) without causality masking.
+    Returns (mv_px [B,2], cost [B], pred [B,n,n], rate [B])."""
+    b = pos.shape[0]
+    d = 2 * radius + 1
+    dr = jnp.arange(-radius, radius + 1)
+    ty = pos[:, 1, None, None] + dr[None, :, None]
+    tx = pos[:, 0, None, None] + dr[None, None, :]
+    mask = (ty >= 0) & (tx >= 0) & (ty + n <= h) & (tx + n <= w)
+
+    wy0 = pos[:, 1] - radius
+    wx0 = pos[:, 0] - radius
+    wsz = n + 2 * radius
+    ry = wy0[:, None, None] + jnp.arange(wsz)[None, :, None]
+    rx = wx0[:, None, None] + jnp.arange(wsz)[None, None, :]
+    win = refp[jnp.clip(ry, 0, h - 1), jnp.clip(rx, 0, refp.shape[1] - 1)]
+    wf = win.astype(jnp.float32)
+    of = org.astype(jnp.float32)
+
+    def corr1(wv, kv):
+        return jax.lax.conv_general_dilated(
+            wv[None, None], kv[None, None], (1, 1), "VALID",
+            preferred_element_type=jnp.float32)[0, 0]
+
+    corr = jax.vmap(corr1)(wf, of)
+    ones = jnp.ones((n, n), jnp.float32)
+    ref2 = jax.lax.conv_general_dilated(
+        (wf * wf)[:, None], ones[None, None], (1, 1), "VALID",
+        preferred_element_type=jnp.float32)[:, 0]
+    org2 = jnp.sum(of * of, axis=(1, 2))[:, None, None]
+    sse = org2 + ref2 - 2.0 * corr
+
+    big = jnp.float32(3.0e38)
+    cost = jnp.where(mask, sse + rate_map[None], big).reshape(b, -1)
+    idx = jnp.argmin(cost, axis=1)
+    best = jnp.take_along_axis(cost, idx[:, None], 1)[:, 0]
+    rate = rate_map.reshape(-1)[idx]
+    mvy = (idx // d).astype(jnp.int32) - radius
+    mvx = (idx % d).astype(jnp.int32) - radius
+    ar = jnp.arange(n)
+    pry = (mvy + radius)[:, None, None] + ar[None, :, None]
+    prx = (mvx + radius)[:, None, None] + ar[None, None, :]
+    bi = jnp.arange(b)[:, None, None]
+    pred = win[bi, pry, prx]
+    return jnp.stack([mvx, mvy], -1), best, pred, rate
+
+
 # ---------------------------------------------------------------------------
 # GT (geometric transform / HOP) prediction + search
 # ---------------------------------------------------------------------------
@@ -479,6 +527,120 @@ def scan_encode_iss(org_y, org_cb, org_cr, xs, zmaxw, rate_maps, zmax2n,
 
 
 @functools.partial(jax.jit, static_argnames=(
+    "sizes", "qp", "qp_c", "bit_depth", "strong", "w", "h", "radius",
+    "radius_t", "gt"))
+def scan_encode_pss(org_y, org_cb, org_cr, ref_y, ref_cb, ref_cr,
+                    xs, zmaxw, rate_maps, trate_maps, zmax2n,
+                    sizes: tuple, qp: int, qp_c: int, bit_depth: int,
+                    strong: bool, w: int, h: int, radius: int,
+                    radius_t: int, gt: bool = False):
+    """PSS whole-frame encode: intra / temporal MC / SS / GT tournament.
+
+    ref_*: previous picture's filtered recon (the temporal L0[0]); the SS
+    reference is the recon carry, coded as the LAST L0 entry
+    (TComSlice.cpp:497-506). Outputs outs[log2] = (inter, refsel [S,B]
+    (0=temporal, 1=SS), mv_px, intra_mode, cbf y/cb/cr, gtflag, gtc).
+    """
+    ry = jnp.zeros_like(org_y)
+    rcb = jnp.zeros_like(org_cb)
+    rcr = jnp.zeros_like(org_cr)
+    cy_ = jnp.zeros_like(org_y)
+    ccb = jnp.zeros_like(org_cb)
+    ccr = jnp.zeros_like(org_cr)
+    lam = partition.full_lambda(qp)
+    lam_i = lam * INTRA_BITS
+
+    def step(carry, x):
+        ry, rcb, rcr, cy_, ccb, ccr = carry
+        outs = {}
+        for log2 in sizes:
+            n = 1 << log2
+            m = n // 2
+            pos, avail, availc, zcur = x[log2]
+            rows, cols = _block_idx(pos, n)
+            org = org_y[rows, cols]
+
+            chains = intra.substitute_refs(_gather_chains(ry, pos, n),
+                                           avail, bit_depth)
+            preds = intra.predict_all_modes(chains, n, 0, bit_depth, strong)
+            scosts = intra.satd(org[:, None], preds)
+            imode = jnp.argmin(scosts, axis=1).astype(jnp.int32)
+            ipred = jnp.take_along_axis(
+                preds, imode[:, None, None, None], axis=1)[:, 0]
+            icost = jnp.sum((org - ipred).astype(jnp.float32) ** 2,
+                            axis=(1, 2)) + lam_i
+
+            mv_s, sscost, sspred, ssrate, anchor, gtrate, gtok = _ss_search(
+                ry, org, pos, zcur, zmaxw[log2], rate_maps[log2],
+                n, radius, w, h, zmax2n[log2] if gt else None)
+            mv_t, tcost, tpred, trate = _t_search(
+                ref_y, org, pos, trate_maps[log2], n, radius_t, w, h)
+
+            if gt:
+                gtc, gpred, gsse = _gt_search(
+                    ry, org, pos, anchor, n, lam, h, bit_depth)
+                gcost = gsse + gtrate + lam
+                nonzero = jnp.any(gtc != 0, axis=(1, 2))
+                gtflag = (gtok & nonzero & (gcost < sscost)
+                          & (gcost < icost) & (gcost < tcost))
+            else:
+                gtc = jnp.zeros(pos.shape[:1] + (3, 2), jnp.int32)
+                gpred = sspred
+                gtflag = jnp.zeros(pos.shape[:1], bool)
+
+            ss_beats_t = sscost < tcost
+            intercost = jnp.minimum(sscost, tcost)
+            inter = gtflag | (intercost < icost)
+            use_ss = gtflag | (inter & ss_beats_t)
+            mv = jnp.where(gtflag[:, None], anchor,
+                           jnp.where(use_ss[:, None], mv_s, mv_t))
+            refsel = use_ss.astype(jnp.int32)  # 1 = SS (last L0 idx)
+            pred = jnp.where(
+                gtflag[:, None, None], gpred,
+                jnp.where(use_ss[:, None, None], sspred,
+                          jnp.where(inter[:, None, None], tpred, ipred)))
+            lev, rec, cbf = _tqr(org, pred, n, qp, bit_depth)
+            ry = ry.at[rows, cols].set(rec)
+            cy_ = cy_.at[rows, cols].set(lev)
+
+            cpos = pos // 2
+            cpos = cpos.at[:, 1].set(
+                jnp.where(pos[:, 1] >= h, h // 2, cpos[:, 1]))
+            crows, ccols = _block_idx(cpos, m)
+
+            def chroma_plane(rc, cc, orgp, refc):
+                orgc = orgp[crows, ccols]
+                ch = intra.substitute_refs(_gather_chains(rc, cpos, m),
+                                           availc, bit_depth)
+                cpreds = intra.predict_all_modes(ch, m, 1, bit_depth, strong)
+                cip = jnp.take_along_axis(
+                    cpreds, imode[:, None, None, None], axis=1)[:, 0]
+                css = interp.chroma_mc(rc, cpos, mv, m, h // 2, bit_depth)
+                ct = interp.chroma_mc(refc, cpos, mv, m, h // 2, bit_depth)
+                cpred = jnp.where(
+                    use_ss[:, None, None], css,
+                    jnp.where(inter[:, None, None], ct, cip))
+                if gt:
+                    cgt = gt_pred_chroma(rc, cpos, mv, gtc, m, h // 2,
+                                         bit_depth)
+                    cpred = jnp.where(gtflag[:, None, None], cgt, cpred)
+                clev, crec, ccbf = _tqr(orgc, cpred, m, qp_c, bit_depth)
+                rc = rc.at[crows, ccols].set(crec)
+                cc = cc.at[crows, ccols].set(clev)
+                return rc, cc, ccbf
+
+            rcb, ccb, cbf_b = chroma_plane(rcb, ccb, org_cb, ref_cb)
+            rcr, ccr, cbf_r = chroma_plane(rcr, ccr, org_cr, ref_cr)
+            outs[log2] = (inter, refsel, mv, imode, cbf, cbf_b, cbf_r,
+                          gtflag, gtc)
+        return (ry, rcb, rcr, cy_, ccb, ccr), outs
+
+    carry, outs = jax.lax.scan(step, (ry, rcb, rcr, cy_, ccb, ccr), xs)
+    ry, rcb, rcr, cy_, ccb, ccr = carry
+    return ry, rcb, rcr, cy_, ccb, ccr, outs
+
+
+@functools.partial(jax.jit, static_argnames=(
     "sizes", "bit_depth", "strong", "h"))
 def scan_decode_ss(resi_y, resi_cb, resi_cr, xs, sizes: tuple,
                    bit_depth: int, strong: bool, h: int):
@@ -539,6 +701,76 @@ def scan_decode_ss(resi_y, resi_cb, resi_cr, xs, sizes: tuple,
 
             rcb = chroma_plane(rcb, resi_cb)
             rcr = chroma_plane(rcr, resi_cr)
+        return (ry, rcb, rcr), None
+
+    (ry, rcb, rcr), _ = jax.lax.scan(step, (ry, rcb, rcr), xs)
+    return ry, rcb, rcr
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sizes", "bit_depth", "strong", "h"))
+def scan_decode_pss(resi_y, resi_cb, resi_cr, ref_y, ref_cb, ref_cr,
+                    xs, sizes: tuple, bit_depth: int, strong: bool, h: int):
+    """PSS decode scan: temporal PUs read the static reference picture
+    (no scheduling dependency); SS/GT PUs read the recon carry.
+
+    xs: {log2: (pos, avail, availc, modes, cmodes, ssf [S,B], tf [S,B],
+    mv_qpel, gtflag, gtv)}."""
+    ry = jnp.zeros_like(resi_y)
+    rcb = jnp.zeros_like(resi_cb)
+    rcr = jnp.zeros_like(resi_cr)
+
+    def step(carry, x):
+        ry, rcb, rcr = carry
+        for log2 in sizes:
+            n = 1 << log2
+            m = n // 2
+            (pos, avail, availc, modes, cmodes, ssf, tf, mvq,
+             gtf, gtv) = x[log2]
+            gtc = gtv.reshape(gtv.shape[0], 3, 2)
+            chains = intra.substitute_refs(_gather_chains(ry, pos, n),
+                                           avail, bit_depth)
+            preds = intra.predict_all_modes(chains, n, 0, bit_depth, strong)
+            ipred = jnp.take_along_axis(
+                preds, modes[:, None, None, None], axis=1)[:, 0]
+            ssp = interp.luma_mc(ry, pos, mvq, n, h, bit_depth)
+            tp = interp.luma_mc(ref_y, pos, mvq, n, h, bit_depth)
+            mvpx = mvq >> 2
+            gtp = gt_pred_luma(ry, pos, mvpx, gtc, n, h, bit_depth)
+            pred = jnp.where(
+                gtf[:, None, None] != 0, gtp,
+                jnp.where(ssf[:, None, None] != 0, ssp,
+                          jnp.where(tf[:, None, None] != 0, tp, ipred)))
+            rows, cols = _block_idx(pos, n)
+            rec = jnp.clip(pred + resi_y[rows, cols],
+                           0, (1 << bit_depth) - 1)
+            ry = ry.at[rows, cols].set(rec)
+
+            cpos = pos // 2
+            cpos = cpos.at[:, 1].set(
+                jnp.where(pos[:, 1] >= h, h // 2, cpos[:, 1]))
+            crows, ccols = _block_idx(cpos, m)
+
+            def chroma_plane(rc, refc, resip):
+                ch = intra.substitute_refs(_gather_chains(rc, cpos, m),
+                                           availc, bit_depth)
+                cpreds = intra.predict_all_modes(ch, m, 1, bit_depth, strong)
+                cip = jnp.take_along_axis(
+                    cpreds, cmodes[:, None, None, None], axis=1)[:, 0]
+                css = interp.chroma_mc(rc, cpos, mvpx, m, h // 2, bit_depth)
+                ct = interp.chroma_mc(refc, cpos, mvpx, m, h // 2, bit_depth)
+                cgt = gt_pred_chroma(rc, cpos, mvpx, gtc, m, h // 2,
+                                     bit_depth)
+                cpred = jnp.where(
+                    gtf[:, None, None] != 0, cgt,
+                    jnp.where(ssf[:, None, None] != 0, css,
+                              jnp.where(tf[:, None, None] != 0, ct, cip)))
+                crec = jnp.clip(cpred + resip[crows, ccols],
+                                0, (1 << bit_depth) - 1)
+                return rc.at[crows, ccols].set(crec)
+
+            rcb = chroma_plane(rcb, ref_cb, resi_cb)
+            rcr = chroma_plane(rcr, ref_cr, resi_cr)
         return (ry, rcb, rcr), None
 
     (ry, rcb, rcr), _ = jax.lax.scan(step, (ry, rcb, rcr), xs)

@@ -672,6 +672,9 @@ struct FrameMaps {
   int slice_type = 2;    // 2=I, 3=ISS, 4=PSS
   int mi_size = 0;       // vps_holo_microimage_size
   int max_merge = 5;
+  int num_ref = 1;       // L0 active refs; for PSS the SS ref is LAST
+                         // (TComSlice.cpp:497-506 m_aiRefIdxOfSS)
+  uint8_t *ref4 = nullptr;    // ref_idx_l0 per 4x4 unit (inter PUs)
   uint8_t *pred4 = nullptr;   // 1=intra (default), 0=inter, per 4x4 unit
   uint8_t *skip8 = nullptr;   // cu_skip_flag per 8x8 unit
   uint8_t *merge8 = nullptr;  // 255 = not merge, else merge idx
@@ -712,6 +715,10 @@ struct FrameMaps {
     mx = mv4x[(y >> 2) * u4_w + (x >> 2)];
     my = mv4y[(y >> 2) * u4_w + (x >> 2)];
   }
+  inline int ref_at(int x, int y) const {
+    return ref4 ? ref4[(y >> 2) * u4_w + (x >> 2)] : 0;
+  }
+  inline int ss_ref_idx() const { return num_ref - 1; }
 
   int cu_depth_at(int x, int y) const { return depth8[(y >> 3) * u8_w + (x >> 3)]; }
   int luma_mode_at(int x, int y) const { return mode4[(y >> 2) * u4_w + (x >> 2)]; }
@@ -753,7 +760,7 @@ static void chroma_cand_list(int luma_mode, int list[4]) {
 // single-reference (SS) lists, no TMVP.
 // ---------------------------------------------------------------------------
 
-struct MvCand { int x = 0, y = 0; };
+struct MvCand { int x = 0, y = 0, ref = 0; };
 
 static inline bool mv_inside_pic(const FrameMaps& m, int cu_x, int cu_y,
                                  int mvx, int mvy) {
@@ -776,14 +783,15 @@ static int build_merge_list(const FrameMaps& m, int x, int y, int n,
     m.mv_at(nx, ny, mx, my);
     out[count].x = mx;
     out[count].y = my;
+    out[count].ref = m.ref_at(nx, ny);
     return true;
   };
   auto same_as = [&](int nx, int ny, int px, int py) -> bool {
-    // hasEqualMotion between two neighbor positions
+    // hasEqualMotion between two neighbor positions (MV + refIdx)
     int ax, ay, bx_, by_;
     m.mv_at(nx, ny, ax, ay);
     m.mv_at(px, py, bx_, by_);
-    return ax == bx_ && ay == by_;
+    return ax == bx_ && ay == by_ && m.ref_at(nx, ny) == m.ref_at(px, py);
   };
   // A1 (left): (x-1, y+n-1)
   bool a1 = m.navail(x - 1, y + n - 1, zc) && m.inter_at(x - 1, y + n - 1);
@@ -812,9 +820,10 @@ static int build_merge_list(const FrameMaps& m, int x, int y, int n,
       if (add_nb(x - 1, y - 1)) count++;
   }
   if (count == m.max_merge) return count;
-  // IT micro-image candidates (MIMergeCand)
+  // IT micro-image candidates (MIMergeCand) — always on the SS reference
   if (m.mi_size > 0) {
     int ctb = 1 << m.ctb_log2;
+    int ssr = m.ss_ref_idx();
     int shift = (n + m.mi_size - 1) / m.mi_size;  // ceil
     // left MI: available when PU not on the CTU's left column
     if (count < 4 && (x % ctb) != 0) {
@@ -822,6 +831,7 @@ static int build_merge_list(const FrameMaps& m, int x, int y, int n,
       if (mv_inside_pic(m, x, y, mvx, mvy)) {
         out[count].x = mvx;
         out[count].y = mvy;
+        out[count].ref = ssr;
         count++;
       }
     }
@@ -830,6 +840,7 @@ static int build_merge_list(const FrameMaps& m, int x, int y, int n,
       if (mv_inside_pic(m, x, y, mvx, mvy)) {
         out[count].x = mvx;
         out[count].y = mvy;
+        out[count].ref = ssr;
         count++;
       }
     }
@@ -839,40 +850,52 @@ static int build_merge_list(const FrameMaps& m, int x, int y, int n,
       if (mv_inside_pic(m, x, y, mvx, mvy)) {
         out[count].x = mvx;
         out[count].y = mvy;
+        out[count].ref = ssr;
         count++;
       }
     }
   }
-  // zero fill
+  // zero fill, cycling ref idx as the HM zero-merge candidates do
+  int zr = 0;
   while (count < m.max_merge) {
     out[count].x = 0;
     out[count].y = 0;
+    out[count].ref = zr < m.num_ref ? zr : 0;
+    zr++;
     count++;
   }
   return count;
 }
 
 static void build_amvp(const FrameMaps& m, int x, int y, int n,
-                       MvCand out[2]) {
+                       MvCand out[2], int ref = 0) {
   int64_t zc = m.zat(x, y);
   int count = 0;
-  auto try_pos = [&](int nx, int ny) -> bool {
+  auto try_pos = [&](int nx, int ny, bool same_ref) -> bool {
     if (!m.navail(nx, ny, zc) || !m.inter_at(nx, ny)) return false;
+    if (same_ref && m.ref_at(nx, ny) != ref) return false;
     int mx, my;
     m.mv_at(nx, ny, mx, my);
     out[count].x = mx;
     out[count].y = my;
     return true;
   };
-  // left candidate: A0 (x-1, y+n) then A1 (x-1, y+n-1)
+  // left candidate: A0 (x-1, y+n) then A1 (x-1, y+n-1); same-ref pass
+  // first, then any-ref unscaled (our stand-in for HM's TMVP-less scaling)
   bool got_left = false;
-  if (try_pos(x - 1, y + n)) { count++; got_left = true; }
-  else if (try_pos(x - 1, y + n - 1)) { count++; got_left = true; }
+  for (int pass = 0; pass < 2 && !got_left; pass++) {
+    bool sr = pass == 0;
+    if (try_pos(x - 1, y + n, sr)) { count++; got_left = true; }
+    else if (try_pos(x - 1, y + n - 1, sr)) { count++; got_left = true; }
+  }
   // above candidate: B0 (x+n, y-1), B1 (x+n-1, y-1), B2 (x-1, y-1)
   bool got_above = false;
-  if (try_pos(x + n, y - 1)) { count++; got_above = true; }
-  else if (try_pos(x + n - 1, y - 1)) { count++; got_above = true; }
-  else if (try_pos(x - 1, y - 1)) { count++; got_above = true; }
+  for (int pass = 0; pass < 2 && !got_above; pass++) {
+    bool sr = pass == 0;
+    if (try_pos(x + n, y - 1, sr)) { count++; got_above = true; }
+    else if (try_pos(x + n - 1, y - 1, sr)) { count++; got_above = true; }
+    else if (try_pos(x - 1, y - 1, sr)) { count++; got_above = true; }
+  }
   (void)got_left;
   (void)got_above;
   // duplicate removal
@@ -1043,18 +1066,30 @@ struct SliceEncoder {
     }
   }
 
+  void code_ref_idx(int ref) {
+    // ref_idx_l0 unary (TEncSbac::codeRefFrmIdx), present when >1 ref
+    if (m.num_ref <= 1) return;
+    e.bin(ctx, CTX_REF_PIC, ref > 0);
+    for (int i = 1; ref > 0 && i < m.num_ref - 1; i++) {
+      int more = ref > i;
+      e.bin(ctx, CTX_REF_PIC + 1, more);
+      if (!more) break;
+    }
+  }
+
   void code_inter_cu(int x, int y, int log2, bool skip) {
     int size = 1 << log2;
     int u8i = (y >> 3) * m.u8_w + (x >> 3);
     int mvx, mvy;
     m.mv_at(x, y, mvx, mvy);
+    int ref = m.ref_at(x, y);
     bool gt = m.gt8 && m.gt8[u8i];
     MvCand mrg[5];
     build_merge_list(m, x, y, size, mrg);
     int merge_idx = -1;
     if (!gt) {
       for (int i = 0; i < m.max_merge; i++)
-        if (mrg[i].x == mvx && mrg[i].y == mvy) {
+        if (mrg[i].x == mvx && mrg[i].y == mvy && mrg[i].ref == ref) {
           merge_idx = i;
           break;
         }
@@ -1075,8 +1110,9 @@ struct SliceEncoder {
     if (merge_idx >= 0) {
       code_merge_idx(merge_idx);
     } else {
+      code_ref_idx(ref);
       MvCand amvp[2];
-      build_amvp(m, x, y, size, amvp);
+      build_amvp(m, x, y, size, amvp, ref);
       // pick the cheaper predictor
       int c0 = (mvx - amvp[0].x < 0 ? -(mvx - amvp[0].x) : mvx - amvp[0].x)
              + (mvy - amvp[0].y < 0 ? -(mvy - amvp[0].y) : mvy - amvp[0].y);
@@ -1085,8 +1121,12 @@ struct SliceEncoder {
       int mvp = c1 < c0 ? 1 : 0;
       code_mvd(mvx - amvp[mvp].x, mvy - amvp[mvp].y);
       e.bin(ctx, CTX_MVP_IDX, mvp);
-      e.bin(ctx, CTX_GT_FLAG, gt ? 1 : 0);
-      code_gt(u8i, gt);
+      // gt_flag only exists for SS-reference PUs (bIsSSE,
+      // TEncSearch.cpp:4564-4567: ISS, or PSS & last L0 idx)
+      if (m.slice_type == 3 || ref == m.ss_ref_idx()) {
+        e.bin(ctx, CTX_GT_FLAG, gt ? 1 : 0);
+        code_gt(u8i, gt);
+      }
     }
     if (merge_idx < 0) {
       e.bin(ctx, CTX_QT_ROOT_CBF, cbf_any);
@@ -1096,7 +1136,8 @@ struct SliceEncoder {
   }
 
   bool can_skip(int x, int y, int log2) {
-    // skip = inter 2Nx2N whose MV is a merge candidate, gt off, no residual
+    // skip = inter 2Nx2N whose motion is a merge candidate, gt off,
+    // no residual
     int size = 1 << log2;
     int u8i = (y >> 3) * m.u8_w + (x >> 3);
     if (m.pred4[(y >> 2) * m.u4_w + (x >> 2)] != 0) return false;
@@ -1106,10 +1147,12 @@ struct SliceEncoder {
       return false;
     int mvx, mvy;
     m.mv_at(x, y, mvx, mvy);
+    int ref = m.ref_at(x, y);
     MvCand mrg[5];
     build_merge_list(m, x, y, size, mrg);
     for (int i = 0; i < m.max_merge; i++)
-      if (mrg[i].x == mvx && mrg[i].y == mvy) return true;
+      if (mrg[i].x == mvx && mrg[i].y == mvy && mrg[i].ref == ref)
+        return true;
     return false;
   }
 
@@ -1373,13 +1416,15 @@ struct SliceDecoder {
     }
   }
 
-  void set_inter_maps(int x, int y, int size, int mvx, int mvy) {
+  void set_inter_maps(int x, int y, int size, int mvx, int mvy,
+                      int ref = 0) {
     for (int yy = y; yy < y + size && yy < m.pic_h; yy += 4)
       for (int xx = x; xx < x + size && xx < m.pic_w; xx += 4) {
         size_t u = (size_t)(yy >> 2) * m.u4_w + (xx >> 2);
         m.pred4[u] = 0;
         m.mv4x[u] = (int16_t)mvx;
         m.mv4y[u] = (int16_t)mvy;
+        if (m.ref4) m.ref4[u] = (uint8_t)ref;
         m.mode4[u] = 1;  // DC for MPM/scan purposes
       }
     for (int yy = y; yy < y + size && yy < m.pic_h; yy += 8)
@@ -1387,21 +1432,33 @@ struct SliceDecoder {
         m.cmode8[(yy >> 3) * m.u8_w + (xx >> 3)] = 36;
   }
 
+  int dec_ref_idx() {
+    if (m.num_ref <= 1) return 0;
+    if (!d.bin(ctx, CTX_REF_PIC)) return 0;
+    int ref = 1;
+    for (int i = 1; i < m.num_ref - 1; i++) {
+      if (!d.bin(ctx, CTX_REF_PIC + 1)) break;
+      ref++;
+    }
+    return ref;
+  }
+
   void dec_inter_cu(int x, int y, int log2, bool skip) {
     int size = 1 << log2;
     int u8i = (y >> 3) * m.u8_w + (x >> 3);
-    int mvx = 0, mvy = 0;
+    int mvx = 0, mvy = 0, ref = 0;
     if (skip) {
       int idx = dec_merge_idx();
       MvCand mrg[5];
       build_merge_list(m, x, y, size, mrg);
       mvx = mrg[idx].x;
       mvy = mrg[idx].y;
+      ref = mrg[idx].ref;
       for (int yy = y; yy < y + size && yy < m.pic_h; yy += 8)
         for (int xx = x; xx < x + size && xx < m.pic_w; xx += 8)
           m.skip8[(yy >> 3) * m.u8_w + (xx >> 3)] = 1;
       m.merge8[u8i] = (uint8_t)idx;
-      set_inter_maps(x, y, size, mvx, mvy);
+      set_inter_maps(x, y, size, mvx, mvy, ref);
       set_cbf_y(x, y, size, 0);
       set_cbf_c(m.cbf8_cb, x, y, size, 0);
       set_cbf_c(m.cbf8_cr, x, y, size, 0);
@@ -1425,23 +1482,27 @@ struct SliceDecoder {
       build_merge_list(m, x, y, size, mrg);
       mvx = mrg[idx].x;
       mvy = mrg[idx].y;
+      ref = mrg[idx].ref;
       m.merge8[u8i] = (uint8_t)idx;
       dec_gt(u8i, false);
     } else {
+      ref = dec_ref_idx();
       int mdx, mdy;
       dec_mvd(mdx, mdy);
       int mvp = d.bin(ctx, CTX_MVP_IDX);
       MvCand amvp[2];
-      build_amvp(m, x, y, size, amvp);
+      build_amvp(m, x, y, size, amvp, ref);
       mvx = amvp[mvp].x + mdx;
       mvy = amvp[mvp].y + mdy;
       m.mvp8[u8i] = (uint8_t)mvp;
       m.merge8[u8i] = 255;
-      gt = d.bin(ctx, CTX_GT_FLAG) != 0;
-      m.gt8[u8i] = gt ? 1 : 0;
-      dec_gt(u8i, gt);
+      if (m.slice_type == 3 || ref == m.ss_ref_idx()) {
+        gt = d.bin(ctx, CTX_GT_FLAG) != 0;
+        m.gt8[u8i] = gt ? 1 : 0;
+        dec_gt(u8i, gt);
+      }
     }
-    set_inter_maps(x, y, size, mvx, mvy);
+    set_inter_maps(x, y, size, mvx, mvy, ref);
     int root_cbf = 1;
     if (!merge) root_cbf = d.bin(ctx, CTX_QT_ROOT_CBF);
     for (int yy = y; yy < y + size && yy < m.pic_h; yy += 4)
@@ -1655,7 +1716,8 @@ int64_t hevc_encode_slice_data_ss(
     const int16_t* coef_cb, const int16_t* coef_cr,
     const uint8_t* pred4, uint8_t* skip8, uint8_t* merge8, uint8_t* mvp8,
     const uint8_t* gt8, const int16_t* mv4x, const int16_t* mv4y,
-    const int16_t* gtv8, uint8_t* out, int64_t cap) {
+    const int16_t* gtv8, const uint8_t* ref4, int num_ref,
+    uint8_t* out, int64_t cap) {
   SliceEncoder se;
   fill_maps(se.m, pic_w, pic_h, ctb_log2, max_hier_depth,
             (uint8_t*)depth8, (uint8_t*)part8, (uint8_t*)mode4,
@@ -1672,6 +1734,8 @@ int64_t hevc_encode_slice_data_ss(
   se.m.mv4x = (int16_t*)mv4x;
   se.m.mv4y = (int16_t*)mv4y;
   se.m.gtv8 = (int16_t*)gtv8;
+  se.m.ref4 = (uint8_t*)ref4;
+  se.m.num_ref = num_ref;
   std::vector<uint8_t> ctx(ctx_states, ctx_states + NUM_CTX);
   se.ctx = ctx.data();
   std::vector<uint8_t> buf;
@@ -1689,7 +1753,7 @@ int64_t hevc_decode_slice_data_ss(
     uint8_t* cbf8_cb, uint8_t* cbf8_cr, int16_t* coef_y, int16_t* coef_cb,
     int16_t* coef_cr, uint8_t* pred4, uint8_t* skip8, uint8_t* merge8,
     uint8_t* mvp8, uint8_t* gt8, int16_t* mv4x, int16_t* mv4y,
-    int16_t* gtv8) {
+    int16_t* gtv8, uint8_t* ref4, int num_ref) {
   SliceDecoder sd;
   fill_maps(sd.m, pic_w, pic_h, ctb_log2, max_hier_depth,
             depth8, part8, mode4, cmode8, tu4,
@@ -1704,6 +1768,8 @@ int64_t hevc_decode_slice_data_ss(
   sd.m.mv4x = mv4x;
   sd.m.mv4y = mv4y;
   sd.m.gtv8 = gtv8;
+  sd.m.ref4 = ref4;
+  sd.m.num_ref = num_ref;
   std::vector<uint8_t> ctx(ctx_states, ctx_states + NUM_CTX);
   sd.ctx = ctx.data();
   sd.d.data = data;
@@ -1715,7 +1781,8 @@ int64_t hevc_decode_slice_data_ss(
 int64_t probe_merge_list(int pic_w, int pic_h, int ctb_log2, int slice_type,
                          int mi_size, const uint8_t* pred4,
                          const int16_t* mv4x, const int16_t* mv4y,
-                         int x, int y, int n, int32_t* out10) {
+                         int x, int y, int n, int32_t* out10,
+                         const uint8_t* ref4, int num_ref, int amvp_ref) {
   FrameMaps m;
   m.pic_w = pic_w;
   m.pic_h = pic_h;
@@ -1727,19 +1794,22 @@ int64_t probe_merge_list(int pic_w, int pic_h, int ctb_log2, int slice_type,
   m.pred4 = (uint8_t*)pred4;
   m.mv4x = (int16_t*)mv4x;
   m.mv4y = (int16_t*)mv4y;
+  m.ref4 = (uint8_t*)ref4;
+  m.num_ref = num_ref;
   m.build_zplane();
   MvCand c[5];
   build_merge_list(m, x, y, n, c);
   for (int i = 0; i < 5; i++) {
-    out10[2 * i] = c[i].x;
-    out10[2 * i + 1] = c[i].y;
+    out10[3 * i] = c[i].x;
+    out10[3 * i + 1] = c[i].y;
+    out10[3 * i + 2] = c[i].ref;
   }
   MvCand a[2];
-  build_amvp(m, x, y, n, a);
-  out10[10] = a[0].x;
-  out10[11] = a[0].y;
-  out10[12] = a[1].x;
-  out10[13] = a[1].y;
+  build_amvp(m, x, y, n, a, amvp_ref);
+  out10[15] = a[0].x;
+  out10[16] = a[0].y;
+  out10[17] = a[1].x;
+  out10[18] = a[1].y;
   return 0;
 }
 

@@ -113,3 +113,32 @@ def test_gt_roundtrip_and_engages():
     mse0 = ((enc0.recon_yuv[0] - y) ** 2).mean()
     # GT should not lose on both axes simultaneously
     assert len(s) <= len(s0) * 1.02 and mse <= mse0 * 1.02
+
+
+def test_pss_sequence_roundtrip():
+    """Low-delay holoscopic GOP: ISS IDR + PSS pictures (temporal L0[0] +
+    SS ref appended last). Every decoded picture must match the encoder
+    recon bit-exactly; temporal prediction must engage."""
+    w, h, mi = 96, 64, 13
+    rng = np.random.default_rng(7)
+    y0, cb0, cr0 = synth_lenslet(w, h, mi)
+    frames = []
+    for t in range(3):
+        y = np.roll(y0, t, axis=1) + rng.integers(-2, 3, (h, w))
+        frames.append((y.clip(0, 255).astype(np.int32),
+                       np.roll(cb0, t // 2, axis=1).astype(np.int32),
+                       np.roll(cr0, t // 2, axis=1).astype(np.int32)))
+    enc = HoloEncoder(HoloConfig(width=w, height=h, qp=32, cu_log2=4,
+                                 search_range=24, search_range_t=8,
+                                 mi_size=mi, gt=True))
+    stream = enc.encode_sequence(frames)
+    m = enc.last_maps
+    assert ((m.pred4 == 0) & (m.ref4 == 0)).mean() > 0.3, \
+        "temporal prediction never chosen"
+    dec = Decoder()
+    pics = dec.decode_stream(stream)
+    assert len(pics) == 3
+    for i, (py, pcb, pcr) in enumerate(pics):
+        ey, ecb, ecr = enc.recon_history[i]
+        assert np.array_equal(py, ey) and np.array_equal(pcb, ecb) \
+            and np.array_equal(pcr, ecr), f"frame {i} mismatch"

@@ -103,8 +103,8 @@ def test_merge_amvp_probe():
     mv4y[2:4, 0:2] = -16
     mrg, amvp = native.probe_merge_amvp(w, h, 5, 3, 13, pred4, mv4x, mv4y,
                                         8, 8, 8)
-    assert list(mrg[0]) == [-64, -16]            # A1 = left
+    assert list(mrg[0]) == [-64, -16, 0]         # A1 = left (ref 0 = SS)
     # MI-left candidate: -ceil(8/13)*13 = -13 full-pel -> -52 qpel
-    assert [-52, 0] in mrg.tolist()
+    assert [-52, 0, 0] in mrg.tolist()
     assert list(amvp[0]) == [-64, -16]           # left AMVP
     assert list(amvp[1]) == [0, 0]               # zero fill
