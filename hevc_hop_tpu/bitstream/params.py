@@ -80,6 +80,7 @@ class SliceHeader:
     ref_deltas: list = dataclasses.field(default_factory=list)
     num_ref_wire: int = 1
     max_merge: int = 5
+    sao: bool = False
     # payload byte offset where slice data (CABAC) starts
     data_offset: int = 0
 
@@ -354,8 +355,8 @@ def write_slice_header(sh: SliceHeader, sps: SPS, pps: PPS) -> BitWriter:
         w.write_flag(1)                # used_by_curr_pic_s0_flag
         # (long-term off in SPS; TMVP off in SPS)
     if sps.sao_enabled:
-        w.write_flag(0)    # sao luma
-        w.write_flag(0)    # sao chroma
+        w.write_flag(1)    # slice_sao_luma_flag
+        w.write_flag(1)    # slice_sao_chroma_flag
     if wire_type in (SliceType.P, SliceType.B):
         w.write_flag(1)                # num_ref_idx_active_override_flag
         w.write_ue(0)                  # num_ref_idx_l0_active_minus1
@@ -398,8 +399,8 @@ def parse_slice_header(data: bytes, sps: SPS, pps: PPS, nal_type: int,
                 sh.ref_deltas.append(d)
         assert npos == 0, "RA/B RPS TODO"
     if sps.sao_enabled:
-        r.read_flag()
-        r.read_flag()
+        sh.sao = bool(r.read_flag())
+        r.read_flag()          # slice_sao_chroma_flag (joint with luma here)
     wire = {int(SliceType.ISS): int(SliceType.I),
             int(SliceType.PSS): int(SliceType.P)}.get(int(st), int(st))
     if wire in (int(SliceType.P), int(SliceType.B)):

@@ -41,11 +41,11 @@ def get_lib() -> ctypes.CDLL:
     lib.hevc_encode_slice_data.restype = c64
     lib.hevc_encode_slice_data.argtypes = [
         u8, c, c, c, c, u8, u8, u8, u8, u8, u8, u8, u8, i16, i16, i16,
-        u8, c64]
+        c, u8, u8, i16, u8, u8, c64]
     lib.hevc_decode_slice_data.restype = c64
     lib.hevc_decode_slice_data.argtypes = [
         u8, c, c, c, c, u8, c64, u8, u8, u8, u8, u8, u8, u8, u8,
-        i16, i16, i16]
+        i16, i16, i16, c, u8, u8, i16, u8]
     lib.cabac_encode_ops.restype = c64
     lib.cabac_encode_ops.argtypes = [u8, c, i32, i32, i32, c, u8, c64]
     lib.cabac_decode_ops.restype = c64
@@ -58,12 +58,13 @@ def get_lib() -> ctypes.CDLL:
     lib.hevc_encode_slice_data_ss.argtypes = [
         u8, c, c, c, c, c, c,
         u8, u8, u8, u8, u8, u8, u8, u8, i16, i16, i16,
-        u8, u8, u8, u8, u8, i16, i16, i16, u8, c, u8, c64]
+        u8, u8, u8, u8, u8, i16, i16, i16, u8, c, c, u8, u8, i16, u8,
+        u8, c64]
     lib.hevc_decode_slice_data_ss.restype = c64
     lib.hevc_decode_slice_data_ss.argtypes = [
         u8, c, c, c, c, c, c, u8, c64,
         u8, u8, u8, u8, u8, u8, u8, u8, i16, i16, i16,
-        u8, u8, u8, u8, u8, i16, i16, i16, u8, c]
+        u8, u8, u8, u8, u8, i16, i16, i16, u8, c, c, u8, u8, i16, u8]
     lib.probe_merge_list.restype = c64
     lib.probe_merge_list.argtypes = [c, c, c, c, c, u8, i16, i16,
                                      c, c, c, i32, u8, c, c]
@@ -134,11 +135,23 @@ class SliceMaps:
         self.gtv8 = np.zeros((u8h, u8w, 6), np.int16)
         self.ref4 = np.zeros((u4h, u4w), np.uint8)   # ref_idx_l0
         self.num_ref = 1                             # L0 count; SS is LAST
+        # SAO per-CTU params (resolved): type 0=off, 1=BO, 2+cls=EO
+        ncty = (pic_h + (1 << ctb_log2) - 1) >> ctb_log2
+        nctx = (pic_w + (1 << ctb_log2) - 1) >> ctb_log2
+        self.sao_on = 0
+        self.sao_merge = np.zeros((ncty, nctx), np.uint8)
+        self.sao_type = np.zeros((ncty, nctx, 3), np.uint8)
+        self.sao_off = np.zeros((ncty, nctx, 3, 4), np.int16)
+        self.sao_band = np.zeros((ncty, nctx, 3), np.uint8)
 
     def _args(self):
         return (self.depth8, self.part8, self.mode4, self.cmode8, self.tu4,
                 self.cbf4_y, self.cbf8_cb, self.cbf8_cr,
                 self.coef_y, self.coef_cb, self.coef_cr)
+
+    def _sao_args(self):
+        return (self.sao_on, self.sao_merge, self.sao_type, self.sao_off,
+                self.sao_band)
 
     def _ss_args(self):
         return self._args() + (self.pred4, self.skip8, self.merge8,
@@ -153,7 +166,7 @@ def encode_slice_data(ctx_states: np.ndarray, maps: SliceMaps) -> bytes:
     n = lib.hevc_encode_slice_data(
         np.ascontiguousarray(ctx_states, np.uint8),
         maps.pic_w, maps.pic_h, maps.ctb_log2, maps.max_hier_depth,
-        *maps._args(), out, cap)
+        *maps._args(), *maps._sao_args(), out, cap)
     if n < 0:
         raise RuntimeError("slice data overflow")
     return out[:n].tobytes()
@@ -161,13 +174,14 @@ def encode_slice_data(ctx_states: np.ndarray, maps: SliceMaps) -> bytes:
 
 def decode_slice_data(ctx_states: np.ndarray, data: bytes,
                       pic_w: int, pic_h: int, ctb_log2: int = 5,
-                      max_hier_depth: int = 0) -> SliceMaps:
+                      max_hier_depth: int = 0, sao_on: int = 0) -> SliceMaps:
     lib = get_lib()
     maps = SliceMaps(pic_w, pic_h, ctb_log2, max_hier_depth)
+    maps.sao_on = sao_on
     buf = np.frombuffer(data, np.uint8)
     n = lib.hevc_decode_slice_data(
         np.ascontiguousarray(ctx_states, np.uint8), pic_w, pic_h, ctb_log2,
-        max_hier_depth, buf, len(data), *maps._args())
+        max_hier_depth, buf, len(data), *maps._args(), *maps._sao_args())
     if n < 0:
         raise RuntimeError("slice data desync")
     return maps
@@ -181,7 +195,8 @@ def encode_slice_data_ss(ctx_states: np.ndarray, maps: SliceMaps) -> bytes:
     n = lib.hevc_encode_slice_data_ss(
         np.ascontiguousarray(ctx_states, np.uint8),
         maps.pic_w, maps.pic_h, maps.ctb_log2, maps.max_hier_depth,
-        maps.slice_type, maps.mi_size, *maps._ss_args(), out, cap)
+        maps.slice_type, maps.mi_size, *maps._ss_args(),
+        *maps._sao_args(), out, cap)
     if n < 0:
         raise RuntimeError("slice data overflow")
     return out[:n].tobytes()
@@ -190,17 +205,19 @@ def encode_slice_data_ss(ctx_states: np.ndarray, maps: SliceMaps) -> bytes:
 def decode_slice_data_ss(ctx_states: np.ndarray, data: bytes,
                          pic_w: int, pic_h: int, ctb_log2: int,
                          max_hier_depth: int, slice_type: int,
-                         mi_size: int, num_ref: int = 1) -> SliceMaps:
+                         mi_size: int, num_ref: int = 1,
+                         sao_on: int = 0) -> SliceMaps:
     lib = get_lib()
     maps = SliceMaps(pic_w, pic_h, ctb_log2, max_hier_depth)
     maps.slice_type = slice_type
     maps.mi_size = mi_size
     maps.num_ref = num_ref
+    maps.sao_on = sao_on
     buf = np.frombuffer(data, np.uint8)
     n = lib.hevc_decode_slice_data_ss(
         np.ascontiguousarray(ctx_states, np.uint8), pic_w, pic_h, ctb_log2,
         max_hier_depth, slice_type, mi_size, buf, len(data),
-        *maps._ss_args())
+        *maps._ss_args(), *maps._sao_args())
     if n < 0:
         raise RuntimeError("slice data desync")
     return maps

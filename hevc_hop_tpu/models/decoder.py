@@ -61,9 +61,11 @@ class Decoder:
         self.pps = None
         self.vps = None
         self.pictures = []
+        self.hash_ok = []   # per decoded-picture-hash SEI verification
 
     def decode_stream(self, stream: bytes) -> list:
         """Decode an AnnexB stream; returns list of (y, cb, cr) frames."""
+        from hevc_hop_tpu.bitstream import sei as seimod
         for (nal_type, rbsp) in nal.annexb_split(stream):
             if nal_type == NalUnitType.VPS_NUT:
                 self.vps = params.parse_vps(rbsp)
@@ -74,6 +76,15 @@ class Decoder:
             elif nal_type in (NalUnitType.IDR_W_RADL, NalUnitType.IDR_N_LP,
                               NalUnitType.CRA_NUT, NalUnitType.TRAIL_R):
                 self._decode_slice(rbsp, nal_type)
+            elif nal_type in (NalUnitType.PREFIX_SEI_NUT,
+                              NalUnitType.SUFFIX_SEI_NUT):
+                for msg in seimod.parse_sei(rbsp):
+                    if (msg.payload_type == seimod.PICTURE_HASH
+                            and self.pictures):
+                        # TDecGop.cpp:230 calcAndPrintHashStatus
+                        self.hash_ok.append(seimod.verify_picture_hash(
+                            msg.payload, *self.pictures[-1],
+                            self.sps.bit_depth))
         return self.pictures
 
     def _decode_slice(self, rbsp: bytes, nal_type: int) -> None:
@@ -92,16 +103,19 @@ class Decoder:
             maps = native.decode_slice_data_ss(
                 states, rbsp[sh.data_offset:], w, h, sps.ctb_log2,
                 sps.max_transform_hierarchy_depth_intra,
-                int(SliceType.PSS), self.vps.holo_mi_size, num_ref)
+                int(SliceType.PSS), self.vps.holo_mi_size, num_ref,
+                sao_on=int(sps.sao_enabled))
         elif sh.slice_type == SliceType.ISS:
             maps = native.decode_slice_data_ss(
                 states, rbsp[sh.data_offset:], w, h, sps.ctb_log2,
                 sps.max_transform_hierarchy_depth_intra,
-                int(SliceType.ISS), self.vps.holo_mi_size)
+                int(SliceType.ISS), self.vps.holo_mi_size,
+                sao_on=int(sps.sao_enabled))
         else:
             maps = native.decode_slice_data(
                 states, rbsp[sh.data_offset:], w, h, sps.ctb_log2,
-                max_hier_depth=sps.max_transform_hierarchy_depth_intra)
+                max_hier_depth=sps.max_transform_hierarchy_depth_intra,
+                sao_on=int(sps.sao_enabled))
 
         # reconstruction structure = TRANSFORM blocks (prediction is per-TU)
         leaves = wavefront.tu_blocks_from_maps(maps.depth8, maps.tu4,
@@ -158,6 +172,11 @@ class Decoder:
                 qp_c=qp_c, bit_depth=bd,
                 beta_off=self.pps.beta_offset_div2,
                 tc_off=self.pps.tc_offset_div2)
+        if self.sps.sao_enabled:
+            from hevc_hop_tpu.ops import sao as saop
+            ry, rcb, rcr = saop.apply_sao_frame(
+                ry, rcb, rcr, maps.sao_type, maps.sao_off, maps.sao_band,
+                self.sps.ctb_log2, bd)
         self.pictures.append((np.asarray(ry, np.int32),
                               np.asarray(rcb, np.int32),
                               np.asarray(rcr, np.int32)))
@@ -253,6 +272,11 @@ class Decoder:
                 qp_c=qp_c, bit_depth=bd,
                 beta_off=self.pps.beta_offset_div2,
                 tc_off=self.pps.tc_offset_div2)
+        if self.sps.sao_enabled:
+            from hevc_hop_tpu.ops import sao as saop
+            ry, rcb, rcr = saop.apply_sao_frame(
+                ry, rcb, rcr, maps.sao_type, maps.sao_off, maps.sao_band,
+                self.sps.ctb_log2, bd)
         self.pictures.append((np.asarray(ry, np.int32),
                               np.asarray(rcb, np.int32),
                               np.asarray(rcr, np.int32)))

@@ -36,6 +36,7 @@ class EncoderConfig:
     ctb_log2: int = 5
     strong_intra_smoothing: bool = True
     deblocking: bool = True
+    sao: bool = False
     # partition: None = quadtree DP (default); or fixed uniform CU log2
     cu_log2: int | None = None
     # mode decision: "analysis" (dense, original refs) or "rmd" (in-loop
@@ -48,10 +49,15 @@ class IntraEncoder:
         assert cfg.width % 8 == 0 and cfg.height % 8 == 0, \
             "pad input to multiples of 8 (conformance window TODO)"
         self.cfg = cfg
+        if cfg.sao:
+            assert cfg.width % (1 << cfg.ctb_log2) == 0 \
+                and cfg.height % (1 << cfg.ctb_log2) == 0, \
+                "SAO stats tiling needs CTU-aligned dims (pad input)"
         self.sps = params.SPS(
             pic_width=cfg.width, pic_height=cfg.height,
             bit_depth=cfg.bit_depth, ctb_log2=cfg.ctb_log2,
             max_transform_hierarchy_depth_intra=0,
+            sao_enabled=cfg.sao,
             strong_intra_smoothing=cfg.strong_intra_smoothing)
         self.pps = params.PPS(init_qp=26,
                               deblocking_disabled=not cfg.deblocking)
@@ -140,6 +146,12 @@ class IntraEncoder:
             ry, rcb, rcr = deblock.deblock_frame(
                 ry, rcb, rcr, jnp.asarray(maps.tu4), qp=qp, qp_c=qp_c,
                 bit_depth=cfg.bit_depth)
+        if cfg.sao:
+            from hevc_hop_tpu.models import partition as _part
+            from hevc_hop_tpu.ops import sao as saop
+            ry, rcb, rcr = saop.rdo_and_apply(
+                (y, cb, cr), (ry, rcb, rcr), maps, cfg.ctb_log2,
+                _part.full_lambda(qp), cfg.bit_depth)
         self.recon_yuv = (np.asarray(ry, np.int32),
                           np.asarray(rcb, np.int32),
                           np.asarray(rcr, np.int32))
@@ -172,7 +184,14 @@ class IntraEncoder:
         payload = native.encode_slice_data(states, maps)
         hw.write_bytes(payload)
         slice_nal = nal.make_nal(NalUnitType.IDR_W_RADL, hw.get_bytes())
-        return nal.annexb_wrap(self.headers() + [slice_nal])
+        # decoded-picture-hash SEI (TEncGOP.cpp:1789-1794)
+        from hevc_hop_tpu.bitstream import sei
+        digests = sei.plane_md5s(*self.recon_yuv, cfg.bit_depth)
+        sei_nal = nal.make_nal(
+            NalUnitType.SUFFIX_SEI_NUT,
+            sei.write_sei([sei.SEIMessage(
+                sei.PICTURE_HASH, sei.make_picture_hash_payload(digests))]))
+        return nal.annexb_wrap(self.headers() + [slice_nal, sei_nal])
 
     def recon_md5(self) -> bytes:
         y, cb, cr = self.recon_yuv

@@ -42,6 +42,7 @@ class HoloConfig:
     gt: bool = True             # GT/HOP corner-warp refinement (IT_GT)
     strong_intra_smoothing: bool = True
     deblocking: bool = True
+    sao: bool = False
 
 
 class HoloEncoder:
@@ -51,10 +52,15 @@ class HoloEncoder:
         assert cfg.width % 8 == 0 and cfg.height % 8 == 0
         assert cfg.cu_log2 >= 3, "ISS CUs are 8x8+ (4x4 NxN TODO)"
         self.cfg = cfg
+        if cfg.sao:
+            assert cfg.width % (1 << cfg.ctb_log2) == 0 \
+                and cfg.height % (1 << cfg.ctb_log2) == 0, \
+                "SAO stats tiling needs CTU-aligned dims (pad input)"
         self.sps = params.SPS(
             pic_width=cfg.width, pic_height=cfg.height,
             bit_depth=cfg.bit_depth, ctb_log2=cfg.ctb_log2,
             max_transform_hierarchy_depth_intra=0,
+            sao_enabled=cfg.sao,
             strong_intra_smoothing=cfg.strong_intra_smoothing)
         self.pps = params.PPS(init_qp=26,
                               deblocking_disabled=not cfg.deblocking)
@@ -172,6 +178,11 @@ class HoloEncoder:
             ry, rcb, rcr = deblock.deblock_frame(
                 ry, rcb, rcr, jnp.asarray(maps.tu4), qp=qp, qp_c=qp_c,
                 bit_depth=cfg.bit_depth)
+        if cfg.sao:
+            from hevc_hop_tpu.ops import sao as saop
+            ry, rcb, rcr = saop.rdo_and_apply(
+                (y, cb, cr), (ry, rcb, rcr), maps, cfg.ctb_log2,
+                partition.full_lambda(qp), cfg.bit_depth)
         self.recon_yuv = (np.asarray(ry, np.int32),
                           np.asarray(rcb, np.int32),
                           np.asarray(rcr, np.int32))
@@ -183,7 +194,8 @@ class HoloEncoder:
         payload = native.encode_slice_data_ss(states, maps)
         hw.write_bytes(payload)
         slice_nal = nal.make_nal(NalUnitType.IDR_W_RADL, hw.get_bytes())
-        return nal.annexb_wrap(self.headers() + [slice_nal])
+        return nal.annexb_wrap(self.headers()
+                               + [slice_nal, self._hash_sei()])
 
     def _encode_pss(self, y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                     poc: int) -> bytes:
@@ -293,6 +305,11 @@ class HoloEncoder:
             ry, rcb, rcr = deblock.deblock_frame(
                 ry, rcb, rcr, jnp.asarray(maps.tu4), qp=qp, qp_c=qp_c,
                 bit_depth=cfg.bit_depth)
+        if cfg.sao:
+            from hevc_hop_tpu.ops import sao as saop
+            ry, rcb, rcr = saop.rdo_and_apply(
+                (y, cb, cr), (ry, rcb, rcr), maps, cfg.ctb_log2,
+                partition.full_lambda(qp), cfg.bit_depth)
         self.recon_yuv = (np.asarray(ry, np.int32),
                           np.asarray(rcb, np.int32),
                           np.asarray(rcr, np.int32))
@@ -305,7 +322,15 @@ class HoloEncoder:
         payload = native.encode_slice_data_ss(states, maps)
         hw.write_bytes(payload)
         slice_nal = nal.make_nal(NalUnitType.TRAIL_R, hw.get_bytes())
-        return nal.annexb_wrap([slice_nal])
+        return nal.annexb_wrap([slice_nal, self._hash_sei()])
+
+    def _hash_sei(self) -> bytes:
+        from hevc_hop_tpu.bitstream import sei
+        digests = sei.plane_md5s(*self.recon_yuv, self.cfg.bit_depth)
+        return nal.make_nal(
+            NalUnitType.SUFFIX_SEI_NUT,
+            sei.write_sei([sei.SEIMessage(
+                sei.PICTURE_HASH, sei.make_picture_hash_payload(digests))]))
 
     def recon_md5(self) -> bytes:
         y, cb, cr = self.recon_yuv

@@ -676,6 +676,13 @@ struct FrameMaps {
                          // (TComSlice.cpp:497-506 m_aiRefIdxOfSS)
   uint8_t *ref4 = nullptr;    // ref_idx_l0 per 4x4 unit (inter PUs)
   uint8_t *pred4 = nullptr;   // 1=intra (default), 0=inter, per 4x4 unit
+  // SAO per-CTU params (resolved, i.e. post-merge). type: 0=off, 1=BO,
+  // 2+class=EO. cr (c=2) shares type/class with cb (c=1) per 7.3.8.3.
+  int sao_on = 0;
+  uint8_t *sao_merge = nullptr;  // [nctu]: 0=new, 1=merge_left, 2=merge_up
+  uint8_t *sao_type = nullptr;   // [nctu*3]
+  int16_t *sao_off = nullptr;    // [nctu*3*4]
+  uint8_t *sao_band = nullptr;   // [nctu*3]
   uint8_t *skip8 = nullptr;   // cu_skip_flag per 8x8 unit
   uint8_t *merge8 = nullptr;  // 255 = not merge, else merge idx
   uint8_t *mvp8 = nullptr;    // mvp_l0_flag
@@ -1250,6 +1257,42 @@ struct SliceEncoder {
     }
   }
 
+  void tr_bypass(int v, int cmax) {
+    for (int k = 0; k < v; k++) e.bypass(1);
+    if (v < cmax) e.bypass(0);
+  }
+
+  void code_sao(int cx, int cy, int nx) {
+    // sao() syntax, H.265 7.3.8.3 (ref TEncSbac + TEncSampleAdaptiveOffset)
+    int i = cy * nx + cx;
+    int mrg = m.sao_merge[i];
+    if (cx > 0) e.bin(ctx, CTX_SAO_MERGE, mrg == 1);
+    if (mrg != 1 && cy > 0) e.bin(ctx, CTX_SAO_MERGE, mrg == 2);
+    if (mrg) return;
+    for (int c = 0; c < 3; c++) {
+      uint8_t t = m.sao_type[(size_t)i * 3 + c];
+      if (c < 2) {
+        e.bin(ctx, CTX_SAO_TYPE, t != 0);
+        if (t != 0) e.bypass(t >= 2);  // 0 = BO, 1 = EO
+      } else {
+        t = m.sao_type[(size_t)i * 3 + 1];  // cr inherits cb
+      }
+      if (t == 0) continue;
+      const int16_t* off = m.sao_off + ((size_t)i * 3 + c) * 4;
+      for (int k = 0; k < 4; k++)
+        tr_bypass(off[k] < 0 ? -off[k] : off[k], 7);
+      if (t == 1) {  // BO: explicit signs + band position
+        for (int k = 0; k < 4; k++)
+          if (off[k]) e.bypass(off[k] < 0);
+        for (int b = 4; b >= 0; b--)
+          e.bypass((m.sao_band[(size_t)i * 3 + c] >> b) & 1);
+      } else if (c < 2) {  // EO class (cr inherits cb)
+        e.bypass(((t - 2) >> 1) & 1);
+        e.bypass((t - 2) & 1);
+      }
+    }
+  }
+
   int64_t run(std::vector<uint8_t>* out) {
     e.out = out;
     int ctb = 1 << m.ctb_log2;
@@ -1257,6 +1300,7 @@ struct SliceEncoder {
     int n_ctu_y = (m.pic_h + ctb - 1) >> m.ctb_log2;
     for (int cy = 0; cy < n_ctu_y; cy++)
       for (int cx = 0; cx < n_ctu_x; cx++) {
+        if (m.sao_on) code_sao(cx, cy, n_ctu_x);
         quad(cx << m.ctb_log2, cy << m.ctb_log2, m.ctb_log2);
         bool last = (cy == n_ctu_y - 1) && (cx == n_ctu_x - 1);
         e.terminate(last);
@@ -1606,6 +1650,71 @@ struct SliceDecoder {
     }
   }
 
+  int dec_tr_bypass(int cmax) {
+    int v = 0;
+    while (v < cmax && d.bypass()) v++;
+    return v;
+  }
+
+  void dec_sao(int cx, int cy, int nx) {
+    int i = cy * nx + cx;
+    int mrg = 0;
+    if (cx > 0 && d.bin(ctx, CTX_SAO_MERGE)) mrg = 1;
+    if (mrg == 0 && cy > 0 && d.bin(ctx, CTX_SAO_MERGE)) mrg = 2;
+    m.sao_merge[i] = (uint8_t)mrg;
+    if (mrg) {
+      int src = (mrg == 1) ? i - 1 : i - nx;
+      for (int c = 0; c < 3; c++) {
+        m.sao_type[(size_t)i * 3 + c] = m.sao_type[(size_t)src * 3 + c];
+        m.sao_band[(size_t)i * 3 + c] = m.sao_band[(size_t)src * 3 + c];
+        for (int k = 0; k < 4; k++)
+          m.sao_off[((size_t)i * 3 + c) * 4 + k] =
+              m.sao_off[((size_t)src * 3 + c) * 4 + k];
+      }
+      return;
+    }
+    for (int c = 0; c < 3; c++) {
+      int t;
+      if (c < 2) {
+        t = 0;
+        if (d.bin(ctx, CTX_SAO_TYPE)) t = d.bypass() ? 2 : 1;
+      } else {
+        t = m.sao_type[(size_t)i * 3 + 1] >= 2
+                ? 2  // EO: class filled below from cb
+                : m.sao_type[(size_t)i * 3 + 1];
+      }
+      int16_t* off = m.sao_off + ((size_t)i * 3 + c) * 4;
+      if (t == 0) {
+        m.sao_type[(size_t)i * 3 + c] = 0;
+        for (int k = 0; k < 4; k++) off[k] = 0;
+        continue;
+      }
+      int absv[4];
+      for (int k = 0; k < 4; k++) absv[k] = dec_tr_bypass(7);
+      if (t == 1) {  // BO
+        for (int k = 0; k < 4; k++)
+          off[k] = (int16_t)(absv[k] && d.bypass() ? -absv[k] : absv[k]);
+        int band = 0;
+        for (int b = 0; b < 5; b++) band = (band << 1) | d.bypass();
+        m.sao_band[(size_t)i * 3 + c] = (uint8_t)band;
+        m.sao_type[(size_t)i * 3 + c] = 1;
+      } else {  // EO: categories 1,2 positive; 3,4 negative
+        off[0] = (int16_t)absv[0];
+        off[1] = (int16_t)absv[1];
+        off[2] = (int16_t)-absv[2];
+        off[3] = (int16_t)-absv[3];
+        int cls;
+        if (c < 2) {
+          cls = d.bypass() << 1;
+          cls |= d.bypass();
+        } else {
+          cls = m.sao_type[(size_t)i * 3 + 1] - 2;
+        }
+        m.sao_type[(size_t)i * 3 + c] = (uint8_t)(2 + cls);
+      }
+    }
+  }
+
   int64_t run() {
     d.start();
     int ctb = 1 << m.ctb_log2;
@@ -1613,6 +1722,7 @@ struct SliceDecoder {
     int n_ctu_y = (m.pic_h + ctb - 1) >> m.ctb_log2;
     for (int cy = 0; cy < n_ctu_y; cy++)
       for (int cx = 0; cx < n_ctu_x; cx++) {
+        if (m.sao_on) dec_sao(cx, cy, n_ctu_x);
         quad(cx << m.ctb_log2, cy << m.ctb_log2, m.ctb_log2);
         int end = d.terminate();
         bool last = (cy == n_ctu_y - 1) && (cx == n_ctu_x - 1);
@@ -1670,8 +1780,9 @@ int64_t hevc_encode_slice_data(
     const uint8_t* depth8, const uint8_t* part8, const uint8_t* mode4,
     const uint8_t* cmode8, const uint8_t* tu4, const uint8_t* cbf4_y,
     const uint8_t* cbf8_cb, const uint8_t* cbf8_cr, const int16_t* coef_y,
-    const int16_t* coef_cb, const int16_t* coef_cr, uint8_t* out,
-    int64_t cap) {
+    const int16_t* coef_cb, const int16_t* coef_cr,
+    int sao_on, uint8_t* sao_merge, uint8_t* sao_type, int16_t* sao_off,
+    uint8_t* sao_band, uint8_t* out, int64_t cap) {
   SliceEncoder se;
   fill_maps(se.m, pic_w, pic_h, ctb_log2, max_hier_depth,
             (uint8_t*)depth8, (uint8_t*)part8,
@@ -1679,6 +1790,11 @@ int64_t hevc_encode_slice_data(
             (uint8_t*)cbf4_y,
             (uint8_t*)cbf8_cb, (uint8_t*)cbf8_cr, (int16_t*)coef_y,
             (int16_t*)coef_cb, (int16_t*)coef_cr);
+  se.m.sao_on = sao_on;
+  se.m.sao_merge = sao_merge;
+  se.m.sao_type = sao_type;
+  se.m.sao_off = sao_off;
+  se.m.sao_band = sao_band;
   std::vector<uint8_t> ctx(ctx_states, ctx_states + NUM_CTX);
   se.ctx = ctx.data();
   std::vector<uint8_t> buf;
@@ -1694,11 +1810,17 @@ int64_t hevc_decode_slice_data(
     const uint8_t* data, int64_t size, uint8_t* depth8, uint8_t* part8,
     uint8_t* mode4, uint8_t* cmode8, uint8_t* tu4, uint8_t* cbf4_y,
     uint8_t* cbf8_cb, uint8_t* cbf8_cr, int16_t* coef_y, int16_t* coef_cb,
-    int16_t* coef_cr) {
+    int16_t* coef_cr, int sao_on, uint8_t* sao_merge, uint8_t* sao_type,
+    int16_t* sao_off, uint8_t* sao_band) {
   SliceDecoder sd;
   fill_maps(sd.m, pic_w, pic_h, ctb_log2, max_hier_depth,
             depth8, part8, mode4, cmode8, tu4,
             cbf4_y, cbf8_cb, cbf8_cr, coef_y, coef_cb, coef_cr);
+  sd.m.sao_on = sao_on;
+  sd.m.sao_merge = sao_merge;
+  sd.m.sao_type = sao_type;
+  sd.m.sao_off = sao_off;
+  sd.m.sao_band = sao_band;
   std::vector<uint8_t> ctx(ctx_states, ctx_states + NUM_CTX);
   sd.ctx = ctx.data();
   sd.d.data = data;
@@ -1717,7 +1839,8 @@ int64_t hevc_encode_slice_data_ss(
     const uint8_t* pred4, uint8_t* skip8, uint8_t* merge8, uint8_t* mvp8,
     const uint8_t* gt8, const int16_t* mv4x, const int16_t* mv4y,
     const int16_t* gtv8, const uint8_t* ref4, int num_ref,
-    uint8_t* out, int64_t cap) {
+    int sao_on, uint8_t* sao_merge, uint8_t* sao_type, int16_t* sao_off,
+    uint8_t* sao_band, uint8_t* out, int64_t cap) {
   SliceEncoder se;
   fill_maps(se.m, pic_w, pic_h, ctb_log2, max_hier_depth,
             (uint8_t*)depth8, (uint8_t*)part8, (uint8_t*)mode4,
@@ -1736,6 +1859,11 @@ int64_t hevc_encode_slice_data_ss(
   se.m.gtv8 = (int16_t*)gtv8;
   se.m.ref4 = (uint8_t*)ref4;
   se.m.num_ref = num_ref;
+  se.m.sao_on = sao_on;
+  se.m.sao_merge = sao_merge;
+  se.m.sao_type = sao_type;
+  se.m.sao_off = sao_off;
+  se.m.sao_band = sao_band;
   std::vector<uint8_t> ctx(ctx_states, ctx_states + NUM_CTX);
   se.ctx = ctx.data();
   std::vector<uint8_t> buf;
@@ -1753,7 +1881,9 @@ int64_t hevc_decode_slice_data_ss(
     uint8_t* cbf8_cb, uint8_t* cbf8_cr, int16_t* coef_y, int16_t* coef_cb,
     int16_t* coef_cr, uint8_t* pred4, uint8_t* skip8, uint8_t* merge8,
     uint8_t* mvp8, uint8_t* gt8, int16_t* mv4x, int16_t* mv4y,
-    int16_t* gtv8, uint8_t* ref4, int num_ref) {
+    int16_t* gtv8, uint8_t* ref4, int num_ref, int sao_on,
+    uint8_t* sao_merge, uint8_t* sao_type, int16_t* sao_off,
+    uint8_t* sao_band) {
   SliceDecoder sd;
   fill_maps(sd.m, pic_w, pic_h, ctb_log2, max_hier_depth,
             depth8, part8, mode4, cmode8, tu4,
@@ -1770,6 +1900,11 @@ int64_t hevc_decode_slice_data_ss(
   sd.m.gtv8 = gtv8;
   sd.m.ref4 = ref4;
   sd.m.num_ref = num_ref;
+  sd.m.sao_on = sao_on;
+  sd.m.sao_merge = sao_merge;
+  sd.m.sao_type = sao_type;
+  sd.m.sao_off = sao_off;
+  sd.m.sao_band = sao_band;
   std::vector<uint8_t> ctx(ctx_states, ctx_states + NUM_CTX);
   sd.ctx = ctx.data();
   sd.d.data = data;
