@@ -40,8 +40,9 @@ def plane_md5s(y, cb, cr, bit_depth: int = 8) -> list:
     return out
 
 
-def make_picture_hash_payload(digests: list) -> bytes:
-    return bytes([HASH_MD5]) + b"".join(digests)
+def make_picture_hash_payload(digests: list,
+                              hash_type: int = HASH_MD5) -> bytes:
+    return bytes([hash_type]) + b"".join(digests)
 
 
 def write_sei(messages: list) -> bytes:
@@ -88,10 +89,14 @@ def parse_sei(rbsp: bytes) -> list:
 def verify_picture_hash(payload: bytes, y, cb, cr,
                         bit_depth: int = 8) -> bool:
     """True iff the decoded picture matches the hash SEI
-    (TDecGop.cpp:230 calcAndPrintHashStatus)."""
-    if payload[0] != HASH_MD5:
-        raise NotImplementedError("CRC/checksum hash types TODO")
-    digests = plane_md5s(y, cb, cr, bit_depth)
-    want = payload[1:]
-    got = b"".join(digests)
-    return want == got
+    (TDecGop.cpp:230 calcAndPrintHashStatus). All three hash types."""
+    from hevc_hop_tpu.ops import hashes
+    if payload[0] == HASH_MD5:
+        digests = plane_md5s(y, cb, cr, bit_depth)
+    elif payload[0] == HASH_CRC:
+        digests = hashes.crc_digests(y, cb, cr, bit_depth)
+    elif payload[0] == HASH_CHECKSUM:
+        digests = hashes.checksum_digests_np(y, cb, cr, bit_depth)
+    else:
+        raise ValueError(f"unknown hash type {payload[0]}")
+    return payload[1:] == b"".join(digests)

@@ -42,6 +42,9 @@ class EncoderConfig:
     # mode decision: "analysis" (dense, original refs) or "rmd" (in-loop
     # SATD from recon refs)
     mode_decision: str = "analysis"
+    # decoded-picture-hash SEI type: checksum is a device-side reduction
+    # (no recon transfer); MD5 forces a full-frame fetch
+    hash_type: int = 2  # sei.HASH_CHECKSUM
 
 
 class IntraEncoder:
@@ -93,22 +96,55 @@ class IntraEncoder:
         return (np.asarray(depth)[:h // 8, :w // 8].astype(np.uint8),
                 np.asarray(mode)[:h // 8, :w // 8].astype(np.int32))
 
-    def encode_frame(self, y: np.ndarray, cb: np.ndarray,
-                     cr: np.ndarray) -> bytes:
-        """Encode one frame; returns the AnnexB byte stream (with headers).
-        Reconstruction is kept in self.recon_yuv for hash checks."""
+    def _schedule(self, depth8: np.ndarray):
+        """Schedule + scatter indices, cached per partition geometry.
+
+        The wavefront schedule depends only on the leaf structure; re-deriving
+        it per frame costs ~0.1 s host time at 1080p (TEncSlice.cpp:1000's
+        per-CTU walk has no equivalent cache because HM re-decides per CTU).
+        """
+        key = depth8.tobytes()
+        if getattr(self, "_sched_key", None) == key:
+            return self._sched
         cfg = self.cfg
         w, h = cfg.width, cfg.height
-        depth8, mode8 = self._decide(y)
         leaves = wavefront.leaves_from_depth(depth8, w, h, cfg.ctb_log2)
         sizes, data, nsteps = wavefront_scan.build_schedule(
             leaves, w, h, cfg.ctb_log2)
+        tu4 = np.zeros((h // 4, w // 4), np.uint8)
+        for (x0, y0, log2) in leaves:
+            tu4[y0 // 4:(y0 + (1 << log2)) // 4,
+                x0 // 4:(x0 + (1 << log2)) // 4] = log2
+        scat = {}
+        for log2 in sizes:
+            d = data[log2]
+            vm = d["valid"].ravel()
+            pxv = d["pos"][..., 0].ravel()[vm]
+            pyv = d["pos"][..., 1].ravel()[vm]
+            n = 1 << log2
+            u = n // 4
+            iy4 = pyv[:, None, None] // 4 + np.arange(u)[None, :, None]
+            ix4 = pxv[:, None, None] // 4 + np.arange(u)[None, None, :]
+            u = n // 8
+            iy8 = pyv[:, None, None] // 8 + np.arange(u)[None, :, None]
+            ix8 = pxv[:, None, None] // 8 + np.arange(u)[None, None, :]
+            scat[log2] = (vm, iy4, ix4, iy8, ix8)
+        self._sched_key = key
+        self._sched = (leaves, sizes, data, tu4, scat)
+        return self._sched
+
+    def encode_frame(self, y: np.ndarray, cb: np.ndarray,
+                     cr: np.ndarray) -> bytes:
+        """Encode one frame; returns the AnnexB byte stream (with headers).
+        Reconstruction is kept on device; see recon_yuv / recon_md5."""
+        cfg = self.cfg
+        w, h = cfg.width, cfg.height
+        depth8, mode8 = self._decide(y)
+        leaves, sizes, data, tu4, scat = self._schedule(depth8)
 
         maps = native.SliceMaps(w, h, cfg.ctb_log2, max_hier_depth=0)
         maps.depth8[:] = depth8
-        for (x0, y0, log2) in leaves:
-            maps.tu4[y0 // 4:(y0 + (1 << log2)) // 4,
-                     x0 // 4:(x0 + (1 << log2)) // 4] = log2
+        maps.tu4[:] = tu4
 
         xs = {}
         for log2 in sizes:
@@ -122,26 +158,25 @@ class IntraEncoder:
             xs[log2] = (jnp.asarray(d["pos"]), jnp.asarray(d["avail"]),
                         jnp.asarray(d["availc"]), jnp.asarray(m))
 
+        # uint8/uint16 upload (the device casts); pad rows are scratch
         pad = 1 << cfg.ctb_log2
-        org_y = jnp.zeros((h + pad, w), jnp.int32).at[:h].set(
-            jnp.asarray(y, jnp.int32))
-        org_cb = jnp.zeros((h // 2 + pad, w // 2), jnp.int32).at[:h // 2].set(
-            jnp.asarray(cb, jnp.int32))
-        org_cr = jnp.zeros((h // 2 + pad, w // 2), jnp.int32).at[:h // 2].set(
-            jnp.asarray(cr, jnp.int32))
+        hc = h // 2
+        hc_off = hc + pad
+        udt = np.uint8 if cfg.bit_depth <= 8 else np.uint16
+        org_y = np.zeros((h + pad, w), udt)
+        org_y[:h] = y
+        org_c = np.zeros((2 * hc_off, w // 2), udt)
+        org_c[:hc] = cb
+        org_c[hc_off:hc_off + hc] = cr
 
         qp = cfg.qp
         qp_c = rom.chroma_qp_from_luma(qp)
-        ry, rcb, rcr, coef_y, coef_cb, coef_cr, outs = \
-            wavefront_scan.scan_encode(
-                org_y, org_cb, org_cr, xs, sizes=sizes, qp=qp, qp_c=qp_c,
-                bit_depth=cfg.bit_depth, strong=cfg.strong_intra_smoothing,
-                h=h)
+        ry, rc, coef_y, coef_c, outs = wavefront_scan.scan_encode(
+            jnp.asarray(org_y), jnp.asarray(org_c), xs, sizes=sizes, qp=qp,
+            qp_c=qp_c, bit_depth=cfg.bit_depth,
+            strong=cfg.strong_intra_smoothing, h=h, hc_off=hc_off)
 
-        maps.coef_y[:] = np.asarray(coef_y[:h], np.int16)
-        maps.coef_cb[:] = np.asarray(coef_cb[:h // 2], np.int16)
-        maps.coef_cr[:] = np.asarray(coef_cr[:h // 2], np.int16)
-        ry, rcb, rcr = ry[:h], rcb[:h // 2], rcr[:h // 2]
+        ry, rcb, rcr = ry[:h], rc[:hc], rc[hc_off:hc_off + hc]
         if cfg.deblocking:
             ry, rcb, rcr = deblock.deblock_frame(
                 ry, rcb, rcr, jnp.asarray(maps.tu4), qp=qp, qp_c=qp_c,
@@ -152,30 +187,28 @@ class IntraEncoder:
             ry, rcb, rcr = saop.rdo_and_apply(
                 (y, cb, cr), (ry, rcb, rcr), maps, cfg.ctb_log2,
                 _part.full_lambda(qp), cfg.bit_depth)
-        self.recon_yuv = (np.asarray(ry, np.int32),
-                          np.asarray(rcb, np.int32),
-                          np.asarray(rcr, np.int32))
+        self._recon_dev = (ry, rcb, rcr)
+        self._recon_np = None
 
-        # scatter per-block outputs into the frame maps
+        # device->host: int16 coefficients + small per-block outputs
+        maps.coef_y[:] = np.asarray(coef_y)
+        cc = np.asarray(coef_c)
+        maps.coef_cb[:] = cc[:hc]
+        maps.coef_cr[:] = cc[hc_off:hc_off + hc]
+
         for log2 in sizes:
-            n = 1 << log2
-            d = data[log2]
-            best, cbf_y, cbf_cb, cbf_cr = outs[log2]
-            vm = d["valid"].ravel()
-            pxv = d["pos"][..., 0].ravel()[vm]
-            pyv = d["pos"][..., 1].ravel()[vm]
-            mv = np.asarray(best).ravel()[vm].astype(np.uint8)
-            cyv = np.asarray(cbf_y).ravel()[vm].astype(np.uint8)
-            cbv = np.asarray(cbf_cb).ravel()[vm].astype(np.uint8)
-            crv = np.asarray(cbf_cr).ravel()[vm].astype(np.uint8)
-            for dy in range(n // 4):
-                for dx in range(n // 4):
-                    maps.mode4[pyv // 4 + dy, pxv // 4 + dx] = mv
-                    maps.cbf4_y[pyv // 4 + dy, pxv // 4 + dx] = cyv
-            for dy in range(n // 8):
-                for dx in range(n // 8):
-                    maps.cbf8_cb[pyv // 8 + dy, pxv // 8 + dx] = cbv
-                    maps.cbf8_cr[pyv // 8 + dy, pxv // 8 + dx] = crv
+            best, cbf_y, cbf_c = outs[log2]
+            vm, iy4, ix4, iy8, ix8 = scat[log2]
+            nb = best.shape[1]
+            mv = np.asarray(best).ravel()[vm][:, None, None]
+            cyv = np.asarray(cbf_y).ravel()[vm][:, None, None]
+            cbf_c = np.asarray(cbf_c).reshape(best.shape[0], 2, nb)
+            cbv = cbf_c[:, 0].ravel()[vm][:, None, None]
+            crv = cbf_c[:, 1].ravel()[vm][:, None, None]
+            maps.mode4[iy4, ix4] = mv
+            maps.cbf4_y[iy4, ix4] = cyv
+            maps.cbf8_cb[iy8, ix8] = cbv
+            maps.cbf8_cr[iy8, ix8] = crv
 
         # entropy: slice header + native slice data
         sh = params.SliceHeader(slice_type=SliceType.I, slice_qp=qp)
@@ -186,12 +219,28 @@ class IntraEncoder:
         slice_nal = nal.make_nal(NalUnitType.IDR_W_RADL, hw.get_bytes())
         # decoded-picture-hash SEI (TEncGOP.cpp:1789-1794)
         from hevc_hop_tpu.bitstream import sei
-        digests = sei.plane_md5s(*self.recon_yuv, cfg.bit_depth)
+        from hevc_hop_tpu.ops import hashes
+        if cfg.hash_type == sei.HASH_CHECKSUM:
+            digests = hashes.checksum_digests(ry, rcb, rcr, cfg.bit_depth)
+        elif cfg.hash_type == sei.HASH_CRC:
+            digests = hashes.crc_digests(*self.recon_yuv, cfg.bit_depth)
+        else:
+            digests = sei.plane_md5s(*self.recon_yuv, cfg.bit_depth)
         sei_nal = nal.make_nal(
             NalUnitType.SUFFIX_SEI_NUT,
             sei.write_sei([sei.SEIMessage(
-                sei.PICTURE_HASH, sei.make_picture_hash_payload(digests))]))
+                sei.PICTURE_HASH,
+                sei.make_picture_hash_payload(digests, cfg.hash_type))]))
         return nal.annexb_wrap(self.headers() + [slice_nal, sei_nal])
+
+    @property
+    def recon_yuv(self):
+        if self._recon_np is None:
+            ry, rcb, rcr = self._recon_dev
+            self._recon_np = (np.asarray(ry, np.int32),
+                              np.asarray(rcb, np.int32),
+                              np.asarray(rcr, np.int32))
+        return self._recon_np
 
     def recon_md5(self) -> bytes:
         y, cb, cr = self.recon_yuv

@@ -115,45 +115,95 @@ def _enc_plane(recon, coefp, orgp, pos, avail, modes, n, qp, c_idx,
     return recon, coefp, best, cbf
 
 
-@functools.partial(jax.jit, static_argnames=("sizes", "qp", "qp_c",
-                                             "bit_depth", "strong", "h"))
-def scan_encode(org_y, org_cb, org_cr, xs, sizes: tuple, qp: int, qp_c: int,
-                bit_depth: int, strong: bool, h: int):
-    """Single-program multi-size intra encode.
+def _enc_plane_ys(recon, orgp, pos, avail, modes, n, qp, c_idx,
+                  bit_depth, strong):
+    """Like _enc_plane but returns the level block instead of scattering it
+    into a dense coefficient plane (coef assembly happens once post-scan)."""
+    log2 = n.bit_length() - 1
+    chains = _gather_chains(recon, pos, n)
+    chains = intra.substitute_refs(chains, avail, bit_depth)
+    preds = intra.predict_all_modes(chains, n, c_idx, bit_depth, strong)
+    rows, cols = _block_idx(pos, n)
+    org = orgp[rows, cols].astype(jnp.int32)
+    costs = intra.satd(org[:, None], preds)
+    best = jnp.argmin(costs, axis=1).astype(jnp.int32)
+    best = jnp.where(modes >= 0, modes, best)
+    pred = jnp.take_along_axis(preds, best[:, None, None, None], axis=1)[:, 0]
+    resi = org - pred
+    use_dst = (n == 4 and c_idx == 0)
+    coef = transform.fwd_transform(resi, bit_depth, use_dst)
+    lev = quant.quant(coef, qp, log2, bit_depth, True)
+    deq = quant.dequant(lev, qp, log2, bit_depth)
+    rq = transform.inv_transform(deq, bit_depth, use_dst)
+    rec = jnp.clip(pred + rq, 0, (1 << bit_depth) - 1)
+    recon = recon.at[rows, cols].set(rec)
+    cbf = jnp.any(lev != 0, axis=(1, 2))
+    return recon, lev.astype(jnp.int16), best, cbf
 
-    xs: dict {log2: (pos [S,B,2], avail, availc, modes [S,B])} as jnp arrays.
-    Returns (recon y/cb/cr, coef y/cb/cr, outs) where
-    outs[log2] = (modes, cbf_y, cbf_cb, cbf_cr) each [S, B_log2].
+
+@functools.partial(jax.jit, static_argnames=("sizes", "qp", "qp_c",
+                                             "bit_depth", "strong", "h",
+                                             "hc_off"))
+def scan_encode(org_y, org_c, xs, sizes: tuple, qp: int, qp_c: int,
+                bit_depth: int, strong: bool, h: int, hc_off: int):
+    """Single-program multi-size intra encode, transfer-lean flavor.
+
+    org_y: [h+pad, w]; org_c: [2*hc_off, w//2] with cb rows [0, h//2) and cr
+    rows [hc_off, hc_off + h//2) — cb and cr batch together (c_idx only
+    separates luma from chroma). Dummy blocks target the scratch rows at
+    y=h (luma) / y=h//2 (stacked chroma).
+
+    xs: dict {log2: (pos [S,B,2], avail, availc, modes [S,B])}.
+    Returns (ry, rc, coef_y int16 [:h], coef_c int16 stacked, outs) where
+    outs[log2] = (modes [S,B], cbf_y [S,B], cbf_c [S,2B] (cb then cr)).
     """
+    org_y = org_y.astype(jnp.int32)   # callers upload uint8/uint16
+    org_c = org_c.astype(jnp.int32)
     ry = jnp.zeros_like(org_y)
-    rcb = jnp.zeros_like(org_cb)
-    rcr = jnp.zeros_like(org_cr)
-    cy_ = jnp.zeros_like(org_y)
-    ccb = jnp.zeros_like(org_cb)
-    ccr = jnp.zeros_like(org_cr)
+    rc = jnp.zeros_like(org_c)
+    hc = h // 2
 
     def step(carry, x):
-        ry, rcb, rcr, cy_, ccb, ccr = carry
-        outs = {}
+        ry, rc = carry
+        ys = {}
         for log2 in sizes:
             n = 1 << log2
             p, al, ac, m = x[log2]
-            ry, cy_, best, cbf = _enc_plane(ry, cy_, org_y, p, al, m,
-                                            n, qp, 0, bit_depth, strong)
+            ry, lev_y, best, cbf = _enc_plane_ys(
+                ry, org_y, p, al, m, n, qp, 0, bit_depth, strong)
             pc = p // 2
-            pc = pc.at[:, 1].set(jnp.where(p[:, 1] >= h, h // 2, pc[:, 1]))
-            rcb, ccb, _, cbf_b = _enc_plane(rcb, ccb, org_cb, pc, ac, best,
-                                            n // 2, qp_c, 1, bit_depth,
-                                            strong)
-            rcr, ccr, _, cbf_r = _enc_plane(rcr, ccr, org_cr, pc, ac, best,
-                                            n // 2, qp_c, 2, bit_depth,
-                                            strong)
-            outs[log2] = (best, cbf, cbf_b, cbf_r)
-        return (ry, rcb, rcr, cy_, ccb, ccr), outs
+            pc = pc.at[:, 1].set(jnp.where(p[:, 1] >= h, hc, pc[:, 1]))
+            pcc = jnp.concatenate(
+                [pc, pc + jnp.array([0, hc_off], jnp.int32)], 0)
+            acc = jnp.concatenate([ac, ac], 0)
+            mc = jnp.concatenate([best, best], 0)
+            rc, lev_c, _, cbf_c = _enc_plane_ys(
+                rc, org_c, pcc, acc, mc, n // 2, qp_c, 1, bit_depth, strong)
+            ys[log2] = (lev_y, lev_c, best, cbf, cbf_c)
+        return (ry, rc), ys
 
-    carry, outs = jax.lax.scan(step, (ry, rcb, rcr, cy_, ccb, ccr), xs)
-    ry, rcb, rcr, cy_, ccb, ccr = carry
-    return ry, rcb, rcr, cy_, ccb, ccr, outs
+    (ry, rc), ys = jax.lax.scan(step, (ry, rc), xs)
+
+    # dense coefficient assembly: ONE scatter per (size, plane)
+    coef_y = jnp.zeros(org_y.shape, jnp.int16)
+    coef_c = jnp.zeros(org_c.shape, jnp.int16)
+    outs = {}
+    for log2 in sizes:
+        n = 1 << log2
+        p = xs[log2][0]
+        lev_y, lev_c, best, cbf, cbf_c = ys[log2]
+        s, b = p.shape[:2]
+        rows, cols = _block_idx(p.reshape(s * b, 2), n)
+        coef_y = coef_y.at[rows, cols].set(lev_y.reshape(s * b, n, n))
+        pc = p // 2
+        pc = pc.at[:, :, 1].set(jnp.where(p[:, :, 1] >= h, hc, pc[:, :, 1]))
+        pcc = jnp.concatenate(
+            [pc, pc + jnp.array([0, hc_off], jnp.int32)], 1)
+        rows, cols = _block_idx(pcc.reshape(s * 2 * b, 2), n // 2)
+        coef_c = coef_c.at[rows, cols].set(
+            lev_c.reshape(s * 2 * b, n // 2, n // 2))
+        outs[log2] = (best, cbf, cbf_c)
+    return ry, rc, coef_y[:h], coef_c, outs
 
 
 @functools.partial(jax.jit, static_argnames=("sizes", "bit_depth", "strong",
