@@ -21,3 +21,15 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: the wavefront scan programs take
+# minutes to compile; cache them across processes (tests, CLI, bench).
+import os as _os
+
+if not _os.environ.get("HEVC_HOP_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.environ.get("HEVC_HOP_COMPILE_CACHE",
+                                       "/tmp/hevc_hop_xla_cache"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

@@ -357,9 +357,17 @@ def write_slice_header(sh: SliceHeader, sps: SPS, pps: PPS) -> BitWriter:
     if sps.sao_enabled:
         w.write_flag(1)    # slice_sao_luma_flag
         w.write_flag(1)    # slice_sao_chroma_flag
-    if wire_type in (SliceType.P, SliceType.B):
-        w.write_flag(1)                # num_ref_idx_active_override_flag
-        w.write_ue(0)                  # num_ref_idx_l0_active_minus1
+    # HM's isIntra() is (type == I_SLICE), so ISS/PSS slices carry the
+    # non-intra header fields even when wire-coded as I
+    # (TEncCavlc.cpp:780-783,895-897; TDecCAVLC.cpp parses them after the
+    # I->ISS remap). num_ref counts INCLUDE the SS ref for PSS: the SS
+    # picture replaces the last L0 entry (TComSlice.cpp:497-506).
+    if st != SliceType.I:
+        if sh.num_ref_wire != 1:       # PPS default active = 1
+            w.write_flag(1)            # num_ref_idx_active_override_flag
+            w.write_ue(sh.num_ref_wire - 1)
+        else:
+            w.write_flag(0)
         # cabac_init absent (CABAC_INIT_PRESENT forced 0, TypeDef.h:246)
         w.write_ue(0)                  # five_minus_max_num_merge_cand
     w.write_se(sh.slice_qp - pps.init_qp)
@@ -401,9 +409,7 @@ def parse_slice_header(data: bytes, sps: SPS, pps: PPS, nal_type: int,
     if sps.sao_enabled:
         sh.sao = bool(r.read_flag())
         r.read_flag()          # slice_sao_chroma_flag (joint with luma here)
-    wire = {int(SliceType.ISS): int(SliceType.I),
-            int(SliceType.PSS): int(SliceType.P)}.get(int(st), int(st))
-    if wire in (int(SliceType.P), int(SliceType.B)):
+    if st != int(SliceType.I):         # ISS/PSS are non-intra here (see writer)
         if r.read_flag():              # num_ref_idx override
             sh.num_ref_wire = r.read_ue() + 1
         else:

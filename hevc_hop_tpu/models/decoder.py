@@ -97,9 +97,9 @@ class Decoder:
         qp = sh.slice_qp
         states = ctx_layout.init_states(int(sh.slice_type), qp)
         if sh.slice_type == SliceType.PSS:
-            # the virtual SS ref is appended as the LAST L0 entry
-            # (TComSlice.cpp:497-506)
-            num_ref = sh.num_ref_wire + 1
+            # the signaled L0 count INCLUDES the virtual SS ref, which
+            # replaces the LAST entry (TComSlice.cpp:497-506)
+            num_ref = sh.num_ref_wire
             maps = native.decode_slice_data_ss(
                 states, rbsp[sh.data_offset:], w, h, sps.ctb_log2,
                 sps.max_transform_hierarchy_depth_intra,
@@ -271,7 +271,9 @@ class Decoder:
                 ry, rcb, rcr, jnp.asarray(maps.tu4), qp=self._cur_qp,
                 qp_c=qp_c, bit_depth=bd,
                 beta_off=self.pps.beta_offset_div2,
-                tc_off=self.pps.tc_offset_div2)
+                tc_off=self.pps.tc_offset_div2, pred4=maps.pred4,
+                cbf4=maps.cbf4_y, ref4=maps.ref4, mv4x=maps.mv4x,
+                mv4y=maps.mv4y)
         if self.sps.sao_enabled:
             from hevc_hop_tpu.ops import sao as saop
             ry, rcb, rcr = saop.apply_sao_frame(

@@ -177,7 +177,9 @@ class HoloEncoder:
         if cfg.deblocking:
             ry, rcb, rcr = deblock.deblock_frame(
                 ry, rcb, rcr, jnp.asarray(maps.tu4), qp=qp, qp_c=qp_c,
-                bit_depth=cfg.bit_depth)
+                bit_depth=cfg.bit_depth, pred4=maps.pred4,
+                cbf4=maps.cbf4_y, ref4=maps.ref4, mv4x=maps.mv4x,
+                mv4y=maps.mv4y)
         if cfg.sao:
             from hevc_hop_tpu.ops import sao as saop
             ry, rcb, rcr = saop.rdo_and_apply(
@@ -304,7 +306,9 @@ class HoloEncoder:
         if cfg.deblocking:
             ry, rcb, rcr = deblock.deblock_frame(
                 ry, rcb, rcr, jnp.asarray(maps.tu4), qp=qp, qp_c=qp_c,
-                bit_depth=cfg.bit_depth)
+                bit_depth=cfg.bit_depth, pred4=maps.pred4,
+                cbf4=maps.cbf4_y, ref4=maps.ref4, mv4x=maps.mv4x,
+                mv4y=maps.mv4y)
         if cfg.sao:
             from hevc_hop_tpu.ops import sao as saop
             ry, rcb, rcr = saop.rdo_and_apply(
@@ -316,7 +320,8 @@ class HoloEncoder:
 
         self.last_maps = maps
         sh = params.SliceHeader(slice_type=SliceType.PSS, slice_qp=qp,
-                                idr=False, poc=poc)
+                                idr=False, poc=poc,
+                                num_ref_wire=maps.num_ref)
         hw = params.write_slice_header(sh, self.sps, self.pps)
         states = ctx_layout.init_states(int(SliceType.PSS), qp)
         payload = native.encode_slice_data_ss(states, maps)

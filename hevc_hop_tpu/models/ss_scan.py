@@ -337,13 +337,28 @@ def gt_pred_luma(plane, pos, mv_px, gtc, n, h_clip, bit_depth):
 
 
 def gt_pred_chroma(plane, cpos, mv_px, gtc, m, h_clip, bit_depth):
-    """GT chroma: scaled corners + half-pel translation fold-in."""
+    """GT chroma, HM-exact (xPredInterChromaBlk GT path + xPredGTChroma,
+    TComPrediction.cpp:1235-1420): the 2m x 2m chroma window is first
+    DCTIF-interpolated at the translational MV's chroma phase (0 or 4
+    eighth-pel per axis for full-pel luma MVs), then warped with Double
+    corner offsets = coded GT vectors / 2."""
     from hevc_hop_tpu.ops import warp as warpop
+    cf = jnp.asarray(interp.CHROMA_FILTER)
     mvc = mv_px >> 1
-    frac = (mv_px & 1).astype(jnp.float32) * 0.5
-    win = _gt_window(plane, cpos, mvc, m, h_clip)
-    h = _gt_homography(gtc, m, scale=0.5, shift=frac)
-    return warpop.warp_blocks(win, h, m, bit_depth)
+    phase = (mv_px & 1) * 4
+    wh = cf[phase[:, 0]]
+    wv = cf[phase[:, 1]]
+    t = 4
+    y0 = cpos[:, 1] + mvc[:, 1] - m // 2 - (t // 2 - 1)
+    x0 = cpos[:, 0] + mvc[:, 0] - m // 2 - (t // 2 - 1)
+    wlen = 2 * m + t - 1
+    ry = y0[:, None, None] + jnp.arange(wlen)[None, :, None]
+    rx = x0[:, None, None] + jnp.arange(wlen)[None, None, :]
+    win = plane[jnp.clip(ry, 0, h_clip - 1),
+                jnp.clip(rx, 0, plane.shape[1] - 1)]
+    fwin = interp.filter_2d(win, wh, wv, 2 * m, bit_depth)
+    h = _gt_homography(gtc, m, scale=0.5)
+    return warpop.warp_blocks(fwin, h, m, bit_depth)
 
 
 def _gt_bits(gtc: jnp.ndarray) -> jnp.ndarray:

@@ -771,12 +771,15 @@ struct MvCand { int x = 0, y = 0, ref = 0; };
 
 static inline bool mv_inside_pic(const FrameMaps& m, int cu_x, int cu_y,
                                  int mvx, int mvy) {
-  // ref TComDataCU::isMvInsidePic (loose bound with margins)
+  // ref TComDataCU::isMvInsidePic (TComDataCU.cpp:2627): bounds are taken
+  // from the CTU origin (m_uiCUPelX/Y), not the PU position
   int maxcu = 1 << m.ctb_log2;
-  int hor_max = (m.pic_w + 8 - cu_x - 1) << 2;
-  int hor_min = (-maxcu - 8 - cu_x + 1) << 2;
-  int ver_max = (m.pic_h + 8 - cu_y - 1) << 2;
-  int ver_min = (-maxcu - 8 - cu_y + 1) << 2;
+  int ctu_x = cu_x & ~(maxcu - 1);
+  int ctu_y = cu_y & ~(maxcu - 1);
+  int hor_max = (m.pic_w + 8 - ctu_x - 1) << 2;
+  int hor_min = (-maxcu - 8 - ctu_x + 1) << 2;
+  int ver_max = (m.pic_h + 8 - ctu_y - 1) << 2;
+  int ver_min = (-maxcu - 8 - ctu_y + 1) << 2;
   return mvx >= hor_min && mvx <= hor_max && mvy >= ver_min && mvy <= ver_max;
 }
 
@@ -876,37 +879,55 @@ static int build_merge_list(const FrameMaps& m, int x, int y, int n,
 
 static void build_amvp(const FrameMaps& m, int x, int y, int n,
                        MvCand out[2], int ref = 0) {
+  // ref TComDataCU::fillMvpCand (TComDataCU.cpp:3297) with the IT rules of
+  // xAddMVPCand (:3700-3712): a spatial neighbour predicts only if its
+  // vector type matches the target's (SS vs temporal, POC-equality test),
+  // and the MI co-located candidate fills a free slot when the target is
+  // the SS reference (:3783-3800). Scaling is always identity here (one
+  // temporal ref at POC-1, or the SS ref at the current POC -> 4096).
   int64_t zc = m.zat(x, y);
   int count = 0;
-  auto try_pos = [&](int nx, int ny, bool same_ref) -> bool {
+  bool target_ss = ref == m.ss_ref_idx();
+  auto try_pos = [&](int nx, int ny) -> bool {
     if (!m.navail(nx, ny, zc) || !m.inter_at(nx, ny)) return false;
-    if (same_ref && m.ref_at(nx, ny) != ref) return false;
+    if ((m.ref_at(nx, ny) == m.ss_ref_idx()) != target_ss) return false;
     int mx, my;
     m.mv_at(nx, ny, mx, my);
     out[count].x = mx;
     out[count].y = my;
     return true;
   };
-  // left candidate: A0 (x-1, y+n) then A1 (x-1, y+n-1); same-ref pass
-  // first, then any-ref unscaled (our stand-in for HM's TMVP-less scaling)
-  bool got_left = false;
-  for (int pass = 0; pass < 2 && !got_left; pass++) {
-    bool sr = pass == 0;
-    if (try_pos(x - 1, y + n, sr)) { count++; got_left = true; }
-    else if (try_pos(x - 1, y + n - 1, sr)) { count++; got_left = true; }
-  }
+  // left candidate: A0 (x-1, y+n) then A1 (x-1, y+n-1)
+  if (try_pos(x - 1, y + n)) count++;
+  else if (try_pos(x - 1, y + n - 1)) count++;
   // above candidate: B0 (x+n, y-1), B1 (x+n-1, y-1), B2 (x-1, y-1)
-  bool got_above = false;
-  for (int pass = 0; pass < 2 && !got_above; pass++) {
-    bool sr = pass == 0;
-    if (try_pos(x + n, y - 1, sr)) { count++; got_above = true; }
-    else if (try_pos(x + n - 1, y - 1, sr)) { count++; got_above = true; }
-    else if (try_pos(x - 1, y - 1, sr)) { count++; got_above = true; }
-  }
-  (void)got_left;
-  (void)got_above;
-  // duplicate removal
+  if (try_pos(x + n, y - 1)) count++;
+  else if (try_pos(x + n - 1, y - 1)) count++;
+  else if (try_pos(x - 1, y - 1)) count++;
+  // duplicate removal (fillMvpCand iN==2 check)
   if (count == 2 && out[0].x == out[1].x && out[0].y == out[1].y) count = 1;
+  // MI co-located predictor: first available of left/above/above-left,
+  // only when predicting INTO the SS reference (xAddMVPCand MI overload)
+  if (m.mi_size > 0 && count < 2 && target_ss) {
+    int ctb = 1 << m.ctb_log2;
+    int shift = (n + m.mi_size - 1) / m.mi_size;  // ceil
+    int d = -(shift * m.mi_size) << 2;
+    struct { bool avail; int mx, my; } mi[3] = {
+        {(x % ctb) != 0, d, 0},        // MD_MI_LEFT
+        {(y % ctb) != 0, 0, d},        // MD_MI_ABOVE
+        {(x % ctb) != 0, d, d},        // MD_MI_ABOVE_LEFT
+    };
+    for (auto& c : mi) {
+      if (c.avail && mv_inside_pic(m, x, y, c.mx, c.my)) {
+        out[count].x = c.mx;
+        out[count].y = c.my;
+        count++;
+        break;
+      }
+    }
+    if (count == 2 && out[0].x == out[1].x && out[0].y == out[1].y)
+      count = 1;
+  }
   while (count < 2) {
     out[count].x = 0;
     out[count].y = 0;
@@ -1128,12 +1149,10 @@ struct SliceEncoder {
       int mvp = c1 < c0 ? 1 : 0;
       code_mvd(mvx - amvp[mvp].x, mvy - amvp[mvp].y);
       e.bin(ctx, CTX_MVP_IDX, mvp);
-      // gt_flag only exists for SS-reference PUs (bIsSSE,
-      // TEncSearch.cpp:4564-4567: ISS, or PSS & last L0 idx)
-      if (m.slice_type == 3 || ref == m.ss_ref_idx()) {
-        e.bin(ctx, CTX_GT_FLAG, gt ? 1 : 0);
-        code_gt(u8i, gt);
-      }
+      // gt_flag + GT vectors follow EVERY non-merge PU, temporal or SS
+      // (TEncEntropy.cpp:475-476 / TDecEntropy.cpp:251-252, size limit 0)
+      e.bin(ctx, CTX_GT_FLAG, gt ? 1 : 0);
+      code_gt(u8i, gt);
     }
     if (merge_idx < 0) {
       e.bin(ctx, CTX_QT_ROOT_CBF, cbf_any);
@@ -1540,11 +1559,10 @@ struct SliceDecoder {
       mvy = amvp[mvp].y + mdy;
       m.mvp8[u8i] = (uint8_t)mvp;
       m.merge8[u8i] = 255;
-      if (m.slice_type == 3 || ref == m.ss_ref_idx()) {
-        gt = d.bin(ctx, CTX_GT_FLAG) != 0;
-        m.gt8[u8i] = gt ? 1 : 0;
-        dec_gt(u8i, gt);
-      }
+      // gt_flag follows EVERY non-merge PU (TDecEntropy.cpp:251-252)
+      gt = d.bin(ctx, CTX_GT_FLAG) != 0;
+      m.gt8[u8i] = gt ? 1 : 0;
+      dec_gt(u8i, gt);
     }
     set_inter_maps(x, y, size, mvx, mvy, ref);
     int root_cbf = 1;

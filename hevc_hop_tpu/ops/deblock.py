@@ -6,10 +6,12 @@ passes: all vertical edges of the picture at once (adjacent 8-px edges touch
 disjoint sample windows), then all horizontal edges on the vertically
 filtered output — the same picture-level ordering the reference uses.
 
-All-intra scope: boundary strength is 2 at every TU boundary on the 8x8
-grid (bS derivation for inter MVs comes with the inter path). Math follows
-H.265 8.7.2.5 exactly; beta/tc tables are golden-verified against the
-reference (tests/golden/hm_golden.json deblock_beta/deblock_tc).
+Boundary strength follows TComLoopFilter.cpp:395 xGetBoundaryStrengthSingle:
+2 when either side is intra, 1 at a TU edge with luma cbf on either side or
+when refs/MVs differ by >= 1 full pel, else 0. Luma tc is BS-dependent
+(DEFAULT_INTRA_TC_OFFSET*(bs-1)); chroma filters only BS==2 edges. Math
+follows H.265 8.7.2.5 exactly; beta/tc tables are golden-verified against
+the reference (tests/golden/hm_golden.json deblock_beta/deblock_tc).
 """
 from __future__ import annotations
 
@@ -30,11 +32,12 @@ BETA_TABLE = np.array(
      40, 42, 44, 46, 48, 50, 52, 54, 56, 58, 60, 62, 64], np.int32)
 
 
-def _luma_edges(plane: jnp.ndarray, edge_on: jnp.ndarray, beta: int, tc: int,
-                bit_depth: int) -> jnp.ndarray:
+def _luma_edges(plane: jnp.ndarray, edge_on: jnp.ndarray, beta: int,
+                tc_seg: jnp.ndarray, bit_depth: int) -> jnp.ndarray:
     """Filter all vertical 8-grid edges of `plane` [H, W].
 
     edge_on: [H//4, E] bool per 4-row segment per edge (E = W//8 - 1).
+    tc_seg:  [H//4, E] int32 per-segment tc (BS-dependent).
     """
     h, w = plane.shape
     e = w // 8 - 1
@@ -59,7 +62,7 @@ def _luma_edges(plane: jnp.ndarray, edge_on: jnp.ndarray, beta: int, tc: int,
         c1 = 2 * (seg(dp)[:, r] + seg(dq)[:, r]) < (beta >> 2)
         c2 = (jnp.abs(seg(p3)[:, r] - sp) + jnp.abs(sq - seg(q3)[:, r])
               < (beta >> 3))
-        c3 = jnp.abs(sp - sq) < ((5 * tc + 1) >> 1)
+        c3 = jnp.abs(sp - sq) < ((5 * tc_seg + 1) >> 1)
         return c1 & c2 & c3
 
     strong = row_cond(0) & row_cond(3) & f_on          # [H/4, E]
@@ -68,6 +71,7 @@ def _luma_edges(plane: jnp.ndarray, edge_on: jnp.ndarray, beta: int, tc: int,
     up = lambda a: jnp.repeat(a, 4, axis=0)            # segment -> rows
     strong_r = up(strong)
     weak_r = up(weak)
+    tc = up(tc_seg)                                    # [H, E]
 
     # strong filter
     sp0 = jnp.clip((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
@@ -129,57 +133,76 @@ def _chroma_edges(plane: jnp.ndarray, edge_on: jnp.ndarray, tc: int,
     return plane.at[:, 6:6 + e * 8].set(out.reshape(h, e * 8))
 
 
+def _edge_bs_v(tu4, pred4, cbf4, ref4, mv4x, mv4y, w: int):
+    """Per-4-row-segment boundary strength for vertical 8-grid edges.
+
+    Returns (edge_on [H/4, E], bs [H/4, E]) with E = w//8 - 1.
+    xGetBoundaryStrengthSingle (TComLoopFilter.cpp:395) on dense maps.
+    """
+    e = w // 8 - 1
+    xs = (jnp.arange(e) + 1) * 8                     # edge x positions
+    cq = xs // 4                                     # q-side 4x4 map col
+    sizes = 1 << tu4[:, cq]                          # [H/4, E]
+    edge_on = (xs[None, :] % sizes) == 0
+    if pred4 is None:                                # all-intra slice
+        return edge_on, jnp.where(edge_on, 2, 0)
+    ip = pred4[:, cq - 1] != 0
+    iq = pred4[:, cq] != 0
+    cbf = (cbf4[:, cq - 1] != 0) | (cbf4[:, cq] != 0)
+    refdiff = ref4[:, cq - 1] != ref4[:, cq]
+    mvdiff = ((jnp.abs(mv4x[:, cq - 1].astype(jnp.int32)
+                       - mv4x[:, cq].astype(jnp.int32)) >= 4)
+              | (jnp.abs(mv4y[:, cq - 1].astype(jnp.int32)
+                         - mv4y[:, cq].astype(jnp.int32)) >= 4))
+    bs = jnp.where(ip | iq, 2,
+                   jnp.where(cbf | refdiff | mvdiff, 1, 0))
+    return edge_on, jnp.where(edge_on, bs, 0)
+
+
 @functools.partial(jax.jit, static_argnames=("qp", "qp_c", "bit_depth",
                                              "beta_off", "tc_off"))
 def deblock_frame(y, cb, cr, tu4, qp: int, qp_c: int, bit_depth: int = 8,
-                  beta_off: int = 0, tc_off: int = 0):
+                  beta_off: int = 0, tc_off: int = 0, pred4=None, cbf4=None,
+                  ref4=None, mv4x=None, mv4y=None):
     """Deblock one frame. y [H,W], cb/cr [H/2,W/2], tu4 [H/4,W/4] leaf-TU
-    log2 map. Returns filtered planes."""
+    log2 map. pred4/cbf4/ref4/mv4x/mv4y (all [H/4, W/4], MVs quarter-pel)
+    drive BS derivation; all None = all-intra (BS=2 at TU edges)."""
     h, w = y.shape
     qb = min(max(qp + beta_off * 2, 0), 51)
-    qt = min(max(qp + 2 + tc_off * 2, 0), 53)
     beta = int(BETA_TABLE[qb]) << (bit_depth - 8)
-    tc = int(TC_TABLE[qt]) << (bit_depth - 8)
+    # BS-dependent luma tc (DEFAULT_INTRA_TC_OFFSET = 2 per (bs-1))
+    tc_bs = [int(TC_TABLE[min(max(qp + 2 * (bs - 1) + tc_off * 2, 0), 53)])
+             << (bit_depth - 8) for bs in (1, 2)]
     qtc = min(max(qp_c + 2 + tc_off * 2, 0), 53)
     tc_c = int(TC_TABLE[qtc]) << (bit_depth - 8)
 
     tu4 = jnp.asarray(tu4, jnp.int32)
+    maps = lambda m: None if m is None else jnp.asarray(m)
+    pred4, cbf4 = maps(pred4), maps(cbf4)
+    ref4, mv4x, mv4y = maps(ref4), maps(mv4x), maps(mv4y)
 
-    def edge_mask_v(tum, grid, count):
-        # edge at x = grid*(k+1); on iff x aligned to the right block's TU
-        xs = (jnp.arange(count) + 1) * grid          # [E]
-        sizes = 1 << tum[:, xs // 4]                 # [H/4, E]
-        return (xs[None, :] % sizes) == 0
+    def tc_of(bs):
+        return jnp.where(bs == 2, tc_bs[1], jnp.where(bs == 1, tc_bs[0], 0))
 
-    def edge_mask_h(tum, grid, count):
-        ys = (jnp.arange(count) + 1) * grid
-        sizes = 1 << tum[ys // 4, :]                 # [E, W/4]
-        return (ys[:, None] % sizes) == 0
+    # ---- luma (vertical edges, then horizontal on the filtered output) ----
+    ev, bs_v = _edge_bs_v(tu4, pred4, cbf4, ref4, mv4x, mv4y, w)
+    y = _luma_edges(y, ev & (bs_v > 0), beta, tc_of(bs_v), bit_depth)
+    t = lambda m: None if m is None else m.T
+    eh, bs_h = _edge_bs_v(tu4.T, t(pred4), t(cbf4), t(ref4), t(mv4x),
+                          t(mv4y), h)
+    y = _luma_edges(y.T, eh & (bs_h > 0), beta, tc_of(bs_h), bit_depth).T
 
-    # ---- luma ----
-    ev = edge_mask_v(tu4, 8, w // 8 - 1)             # [H/4, E]
-    y = _luma_edges(y, ev, beta, tc, bit_depth)
-    eh = edge_mask_h(tu4, 8, h // 8 - 1)             # [E, W/4]
-    # per 4-col segment: transpose plane and reuse vertical machinery
-    yt = y.T
-    eh_seg = eh.T                                    # [W/4, E]
-    y = _luma_edges(yt, eh_seg, beta, tc, bit_depth).T
-
-    # ---- chroma (edges on the 8-chroma grid = 16 luma) ----
+    # ---- chroma: only BS==2 edges on the 8-chroma (16-luma) grid ----
     if tc_c > 0:
         hc, wc = cb.shape
-        ec = wc // 8 - 1
-        if ec > 0:
-            xs = (np.arange(ec) + 1) * 8             # chroma x
-            evc = (jnp.asarray(xs)[None, :] * 2 %
-                   (1 << tu4[::2, (jnp.asarray(xs) * 2) // 4])) == 0
+        if wc // 8 - 1 > 0:
+            # luma edge j=2k+1 is the 16-grid edge; 4-chroma-row segments
+            # take the BS of their first (even) luma segment row
+            evc = (bs_v[::2, 1::2] == 2)[:, :wc // 8 - 1]
             cb = _chroma_edges(cb, evc, tc_c, bit_depth)
             cr = _chroma_edges(cr, evc, tc_c, bit_depth)
-        ehc = hc // 8 - 1
-        if ehc > 0:
-            ys = (np.arange(ehc) + 1) * 8
-            ehm = (jnp.asarray(ys)[:, None] * 2 %
-                   (1 << tu4[(jnp.asarray(ys) * 2) // 4, ::2])) == 0
-            cb = _chroma_edges(cb.T, ehm.T, tc_c, bit_depth).T
-            cr = _chroma_edges(cr.T, ehm.T, tc_c, bit_depth).T
+        if hc // 8 - 1 > 0:
+            ehc = (bs_h[::2, 1::2] == 2)[:, :hc // 8 - 1]
+            cb = _chroma_edges(cb.T, ehc, tc_c, bit_depth).T
+            cr = _chroma_edges(cr.T, ehc, tc_c, bit_depth).T
     return y, cb, cr

@@ -52,3 +52,74 @@ def test_hm_decodes_our_stream(tmp_path, w, h, cu_log2, qp):
     ref = tmp_path / "recon.yuv"
     write_yuv420(str(ref), [enc.recon_yuv])
     assert out.read_bytes() == ref.read_bytes(), "HM decode != our recon"
+
+
+# ---------------------------------------------------------------------------
+# Holoscopic (ISS/PSS/GT) conformance: the IT extension's syntax decoded by
+# the reference decoder (TDecCAVLC.cpp:842-846 I->ISS remap,
+# TDecSbac.cpp:903 parseGT, TDecCu.cpp:454-476 SS-ref maintenance).
+# ---------------------------------------------------------------------------
+
+def synth_lenslet(w, h, mi, seed=7, warped=False):
+    """Micro-image grid; warped=True makes neighbouring MIs slightly scaled
+    copies so the GT corner search out-competes pure translation."""
+    rng = np.random.default_rng(seed)
+    if not warped:
+        base = rng.integers(60, 200, (mi, mi))
+        y = np.tile(base, (h // mi, w // mi)).astype(np.int32)
+        y = (y + rng.normal(0, 6, (h, w))).clip(0, 255).astype(np.int32)
+    else:
+        # per-MI progressive zoom, the fixture that engages the GT search
+        from tests.test_e2e_iss import synth_warped_lenslet
+        y, _, _ = synth_warped_lenslet(w, h, mi)
+    cbase = rng.integers(90, 160, (mi // 2, mi // 2))
+    cb = np.tile(cbase, (h // mi, w // mi)).astype(np.int32)
+    cb = (cb + rng.normal(0, 4, (h // 2, w // 2))).clip(0, 255).astype(
+        np.int32)
+    cr = (128 + rng.normal(0, 5, (h // 2, w // 2))).clip(0, 255).astype(
+        np.int32)
+    return y, cb, cr
+
+
+def hm_decode_ok(tmp_path, stream: bytes, recons) -> None:
+    bs = tmp_path / "h.bin"
+    bs.write_bytes(stream)
+    out = tmp_path / "hdec.yuv"
+    r = subprocess.run([HM_DEC, "-b", str(bs), "-o", str(out)],
+                       capture_output=True, timeout=120)
+    assert r.returncode == 0, (r.stdout.decode()[-500:]
+                               + r.stderr.decode()[-300:])
+    assert b"(OK)" in r.stdout or b"[OK]" in r.stdout, \
+        r.stdout.decode()[-500:]
+    ref = tmp_path / "hrec.yuv"
+    write_yuv420(str(ref), recons)
+    assert out.read_bytes() == ref.read_bytes(), "HM decode != our recon"
+
+
+@pytest.mark.parametrize("w,h,qp,gt", [
+    (64, 64, 32, False),
+    (96, 64, 30, False),
+    (96, 64, 32, True),
+])
+def test_hm_decodes_our_iss_stream(tmp_path, w, h, qp, gt):
+    from hevc_hop_tpu.models.ss_encoder import HoloConfig, HoloEncoder
+    y, cb, cr = synth_lenslet(w, h, 16, seed=w + qp, warped=gt)
+    enc = HoloEncoder(HoloConfig(width=w, height=h, qp=qp, mi_size=16,
+                                 gt=gt))
+    stream = enc.encode_frame(y, cb, cr)
+    if gt:
+        assert enc.last_maps.gt8.sum() > 0, "GT never engaged (weak fixture)"
+    hm_decode_ok(tmp_path, stream, [enc.recon_yuv])
+
+
+def test_hm_decodes_our_pss_sequence(tmp_path):
+    from hevc_hop_tpu.models.ss_encoder import HoloConfig, HoloEncoder
+    w, h = 96, 64
+    y, cb, cr = synth_lenslet(w, h, 16, seed=11)
+    y2 = np.roll(y, (2, 3), (0, 1))
+    cb2 = np.roll(cb, (1, 1), (0, 1))
+    cr2 = np.roll(cr, (1, 1), (0, 1))
+    enc = HoloEncoder(HoloConfig(width=w, height=h, qp=30, mi_size=16,
+                                 gt=True))
+    stream = enc.encode_sequence([(y, cb, cr), (y2, cb2, cr2)])
+    hm_decode_ok(tmp_path, stream, enc.recon_history)

@@ -107,4 +107,6 @@ def test_merge_amvp_probe():
     # MI-left candidate: -ceil(8/13)*13 = -13 full-pel -> -52 qpel
     assert [-52, 0, 0] in mrg.tolist()
     assert list(amvp[0]) == [-64, -16]           # left AMVP
-    assert list(amvp[1]) == [0, 0]               # zero fill
+    # MI co-located candidate fills the free AMVP slot when the target is
+    # the SS ref (fillMvpCand MI chain, TComDataCU.cpp:3783-3800)
+    assert list(amvp[1]) == [-52, 0]
