@@ -29,7 +29,9 @@ import os as _os
 if not _os.environ.get("HEVC_HOP_NO_COMPILE_CACHE"):
     import jax as _jax
 
-    _jax.config.update("jax_compilation_cache_dir",
-                       _os.environ.get("HEVC_HOP_COMPILE_CACHE",
-                                       "/tmp/hevc_hop_xla_cache"))
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    # Respect a cache dir the embedding process already configured.
+    if not _jax.config.jax_compilation_cache_dir:
+        _jax.config.update("jax_compilation_cache_dir",
+                           _os.environ.get("HEVC_HOP_COMPILE_CACHE",
+                                           "/tmp/hevc_hop_xla_cache"))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

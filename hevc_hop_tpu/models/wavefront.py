@@ -1,26 +1,18 @@
-"""Wavefront scheduling + batched per-step intra recon kernels.
+"""Wavefront scheduling: frame structure, z-addresses, availability.
 
 The reference encodes CTUs strictly sequentially (TEncSlice.cpp:1000-1130 CTU
-loop -> recursive z-order CU processing). On TPU we exploit the same
-dependency structure HEVC's WPP was designed around: CTU (cx, cy) depends
-only on CTUs with wave index (cx + 2*cy) strictly smaller, so all CTUs on a
-knight-move diagonal are independent and processed as one batch. Within a
-CTU, leaves advance in z-order slots; equal (wave, slot, size) leaves across
-CTUs form one jitted batched step (gather chains -> predict -> transform ->
-recon -> scatter).
+loop -> recursive z-order CU processing). On TPU we exploit the dependency
+structure HEVC's WPP was designed around: blocks whose reference chains only
+touch finished blocks are mutually independent, so the schedule groups them
+into topological levels consumed by the single-program scan
+(models/wavefront_scan.py).
 
 Availability is the exact H.265 6.4.1 z-scan rule, evaluated via a per-4x4
 z-address plane.
 """
 from __future__ import annotations
 
-import functools
-
-import jax
-import jax.numpy as jnp
 import numpy as np
-
-from hevc_hop_tpu.ops import intra, quant, transform
 
 
 # ---------------------------------------------------------------------------
@@ -100,33 +92,6 @@ def avail_mask(pos: np.ndarray, n: int, zplane: np.ndarray,
     return inb & (z < zcur[:, None])
 
 
-class Schedule:
-    """Wave schedule: list of steps [(n, positions[B,2], avail[B,L])]."""
-
-    def __init__(self, leaves, w, h, ctb_log2, zplane):
-        steps = {}
-        for (x, y, log2) in leaves:
-            cx, cy = x >> ctb_log2, y >> ctb_log2
-            wave = cx + 2 * cy
-            lx = (x >> 3) & ((1 << (ctb_log2 - 3)) - 1)
-            ly = (y >> 3) & ((1 << (ctb_log2 - 3)) - 1)
-            slot = 0
-            for bbit in range(ctb_log2 - 3):
-                slot |= ((lx >> bbit) & 1) << (2 * bbit)
-                slot |= ((ly >> bbit) & 1) << (2 * bbit + 1)
-            steps.setdefault((wave, slot, log2), []).append((x, y))
-        self.steps = []
-        for key in sorted(steps):
-            _, _, log2 = key
-            pos = np.array(steps[key], np.int64)
-            n = 1 << log2
-            self.steps.append(
-                (n, pos,
-                 avail_mask(pos, n, zplane, w, h),
-                 avail_mask(pos // 2, n // 2,
-                            _chroma_zplane(zplane), w // 2, h // 2)))
-
-
 def schedule_topo(blocks, w, h, ctb_log2, zplane):
     """Generic topological-level scheduler over transform blocks.
 
@@ -202,84 +167,3 @@ def _pad(arr: np.ndarray, b: int, fill=0) -> np.ndarray:
         return arr
     pad = np.full((b - arr.shape[0],) + arr.shape[1:], fill, arr.dtype)
     return np.concatenate([arr, pad], 0)
-
-
-# ---------------------------------------------------------------------------
-# Jitted batched steps. Planes carry an extra `n`-row scratch margin at the
-# bottom; padded dummy blocks are pointed there.
-# ---------------------------------------------------------------------------
-
-@functools.partial(jax.jit, static_argnames=("n", "qp", "c_idx", "bit_depth",
-                                             "strong", "rdo_lambda_x1k"))
-def encode_step(recon, coefplane, orgplane, pos, avail, modes_forced,
-                n: int, qp: int, c_idx: int, bit_depth: int,
-                strong: bool, rdo_lambda_x1k: int):
-    """One wavefront step, encoder flavor.
-
-    recon/coefplane/orgplane: [H+n, W] int32 / int32 / int32
-    pos: [B, 2] int32 (x, y); avail: [B, 4n+1] bool
-    modes_forced: [B] int32, -1 -> RMD by SATD
-    Returns (recon, coefplane, modes[B], cbf[B]).
-    """
-    del rdo_lambda_x1k  # reserved for rate-aware RMD
-    b = pos.shape[0]
-    log2 = n.bit_length() - 1
-    coords = jnp.asarray(chain_coords(np.zeros((1, 2), np.int64), n))[0]
-    cx = pos[:, 0:1] + coords[None, :, 0]
-    cy = pos[:, 1:2] + coords[None, :, 1]
-    h = recon.shape[0] - n
-    w = recon.shape[1]
-    chains = recon[jnp.clip(cy, 0, h - 1), jnp.clip(cx, 0, w - 1)]
-    chains = intra.substitute_refs(chains, avail, bit_depth)
-    preds = intra.predict_all_modes(chains, n, c_idx, bit_depth, strong)
-
-    rows = pos[:, 1:2, None] + jnp.arange(n)[None, :, None]
-    cols = pos[:, 0:1, None].transpose(0, 2, 1) + jnp.arange(n)[None, None, :]
-    rows = jnp.broadcast_to(rows, (b, n, n))
-    cols = jnp.broadcast_to(cols, (b, n, n))
-    org = orgplane[rows, cols]
-
-    costs = intra.satd(org[:, None], preds)
-    best = jnp.argmin(costs, axis=1).astype(jnp.int32)
-    best = jnp.where(modes_forced >= 0, modes_forced, best)
-    pred = jnp.take_along_axis(
-        preds, best[:, None, None, None], axis=1)[:, 0]
-
-    resi = org - pred
-    use_dst = (n == 4 and c_idx == 0)
-    coef = transform.fwd_transform(resi, bit_depth, use_dst)
-    lev = quant.quant(coef, qp, log2, bit_depth, True)
-    deq = quant.dequant(lev, qp, log2, bit_depth)
-    rq = transform.inv_transform(deq, bit_depth, use_dst)
-    rec = jnp.clip(pred + rq, 0, (1 << bit_depth) - 1)
-
-    recon = recon.at[rows, cols].set(rec)
-    coefplane = coefplane.at[rows, cols].set(lev)
-    cbf = jnp.any(lev != 0, axis=(1, 2))
-    return recon, coefplane, best, cbf
-
-
-@functools.partial(jax.jit, static_argnames=("n", "c_idx", "bit_depth",
-                                             "strong"))
-def decode_step(recon, resiplane, pos, avail, modes,
-                n: int, c_idx: int, bit_depth: int, strong: bool):
-    """One wavefront step, decoder flavor: predict + add dense residual."""
-    b = pos.shape[0]
-    coords = jnp.asarray(chain_coords(np.zeros((1, 2), np.int64), n))[0]
-    cx = pos[:, 0:1] + coords[None, :, 0]
-    cy = pos[:, 1:2] + coords[None, :, 1]
-    h = recon.shape[0] - n
-    w = recon.shape[1]
-    chains = recon[jnp.clip(cy, 0, h - 1), jnp.clip(cx, 0, w - 1)]
-    chains = intra.substitute_refs(chains, avail, bit_depth)
-    preds = intra.predict_all_modes(chains, n, c_idx, bit_depth, strong)
-    pred = jnp.take_along_axis(
-        preds, modes[:, None, None, None], axis=1)[:, 0]
-
-    rows = pos[:, 1:2, None] + jnp.arange(n)[None, :, None]
-    cols = pos[:, 0:1, None].transpose(0, 2, 1) + jnp.arange(n)[None, None, :]
-    rows = jnp.broadcast_to(rows, (b, n, n))
-    cols = jnp.broadcast_to(cols, (b, n, n))
-    rec = jnp.clip(pred + resiplane[rows, cols], 0, (1 << bit_depth) - 1)
-    recon = recon.at[rows, cols].set(rec)
-    return recon

@@ -771,15 +771,14 @@ struct MvCand { int x = 0, y = 0, ref = 0; };
 
 static inline bool mv_inside_pic(const FrameMaps& m, int cu_x, int cu_y,
                                  int mvx, int mvy) {
-  // ref TComDataCU::isMvInsidePic (TComDataCU.cpp:2627): bounds are taken
-  // from the CTU origin (m_uiCUPelX/Y), not the PU position
+  // ref TComDataCU::isMvInsidePic (TComDataCU.cpp:2627): m_uiCUPelX/Y is the
+  // CU origin at every merge/AMVP call site (set by initSubCU /
+  // copyInterPredInfoFrom before getMI*Cand / fillMvpCand run)
   int maxcu = 1 << m.ctb_log2;
-  int ctu_x = cu_x & ~(maxcu - 1);
-  int ctu_y = cu_y & ~(maxcu - 1);
-  int hor_max = (m.pic_w + 8 - ctu_x - 1) << 2;
-  int hor_min = (-maxcu - 8 - ctu_x + 1) << 2;
-  int ver_max = (m.pic_h + 8 - ctu_y - 1) << 2;
-  int ver_min = (-maxcu - 8 - ctu_y + 1) << 2;
+  int hor_max = (m.pic_w + 8 - cu_x - 1) << 2;
+  int hor_min = (-maxcu - 8 - cu_x + 1) << 2;
+  int ver_max = (m.pic_h + 8 - cu_y - 1) << 2;
+  int ver_min = (-maxcu - 8 - cu_y + 1) << 2;
   return mvx >= hor_min && mvx <= hor_max && mvy >= ver_min && mvy <= ver_max;
 }
 

@@ -112,10 +112,12 @@ def _luma_edges(plane: jnp.ndarray, edge_on: jnp.ndarray, beta: int,
 
 
 def _chroma_edges(plane: jnp.ndarray, edge_on: jnp.ndarray, tc: int,
-                  bit_depth: int) -> jnp.ndarray:
-    """Filter vertical chroma edges (8-chroma-sample grid). plane [H, W],
-    edge_on [H//4? , E] per 4-row segment? chroma uses per-row bS=2 edges;
-    edge_on given per 4-row segment for map convenience."""
+                  bit_depth: int, rep: int = 2) -> jnp.ndarray:
+    """Filter vertical chroma edges (8-chroma-sample grid). plane [H, W].
+
+    edge_on is per decision segment (HM decides per 4-luma-sample part =
+    2 chroma rows, TComLoopFilter xEdgeFilterChroma); `rep` chroma rows
+    share each segment decision (rep=2 for the HM-exact granularity)."""
     h, w = plane.shape
     e = w // 8 - 1
     if e <= 0 or tc == 0:
@@ -123,7 +125,7 @@ def _chroma_edges(plane: jnp.ndarray, edge_on: jnp.ndarray, tc: int,
     maxv = (1 << bit_depth) - 1
     win = plane[:, 6:6 + e * 8].reshape(h, e, 8)   # p1 p0 q0 q1 + 4 pad
     p1, p0, q0, q1 = win[..., 0], win[..., 1], win[..., 2], win[..., 3]
-    on = jnp.repeat(edge_on, 4, axis=0)
+    on = jnp.repeat(edge_on, rep, axis=0)
     delta = jnp.clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc)
     np0 = jnp.where(on, jnp.clip(p0 + delta, 0, maxv), p0)
     nq0 = jnp.where(on, jnp.clip(q0 - delta, 0, maxv), q0)
@@ -196,13 +198,14 @@ def deblock_frame(y, cb, cr, tu4, qp: int, qp_c: int, bit_depth: int = 8,
     if tc_c > 0:
         hc, wc = cb.shape
         if wc // 8 - 1 > 0:
-            # luma edge j=2k+1 is the 16-grid edge; 4-chroma-row segments
-            # take the BS of their first (even) luma segment row
-            evc = (bs_v[::2, 1::2] == 2)[:, :wc // 8 - 1]
+            # luma edge j=2k+1 is the 16-grid edge; each 4-luma-row segment
+            # decides 2 chroma rows (TComLoopFilter xEdgeFilterChroma
+            # per-part granularity)
+            evc = (bs_v[:, 1::2] == 2)[:, :wc // 8 - 1]
             cb = _chroma_edges(cb, evc, tc_c, bit_depth)
             cr = _chroma_edges(cr, evc, tc_c, bit_depth)
         if hc // 8 - 1 > 0:
-            ehc = (bs_h[::2, 1::2] == 2)[:, :hc // 8 - 1]
+            ehc = (bs_h[:, 1::2] == 2)[:, :hc // 8 - 1]
             cb = _chroma_edges(cb.T, ehc, tc_c, bit_depth).T
             cr = _chroma_edges(cr.T, ehc, tc_c, bit_depth).T
     return y, cb, cr
