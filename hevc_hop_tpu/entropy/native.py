@@ -73,8 +73,29 @@ def get_lib() -> ctypes.CDLL:
     lib.wavefront_levels_ex.restype = c64
     lib.wavefront_levels_ex.argtypes = [i32, i32, i32, c, c, c, c, c,
                                         ctypes.c_void_p, i32]
+    lib.hevc_set_bin_counts.restype = None
+    lib.hevc_set_bin_counts.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
+
+
+class BinStats:
+    """Collect per-context bin statistics across encode calls.
+
+    Usage: with BinStats() as s: ...encode...; s.counts -> [NUM_CTX, 2]
+    uint64 (count of 0-bins, 1-bins coded in each context). The telemetry
+    hook behind the RDOQ rate-model calibration (tools/calibrate_rdoq.py).
+    """
+
+    def __enter__(self):
+        lib = get_lib()
+        self.counts = np.zeros((lib.hevc_num_ctx(), 2), np.uint64)
+        lib.hevc_set_bin_counts(self.counts.ctypes.data)
+        return self
+
+    def __exit__(self, *exc):
+        get_lib().hevc_set_bin_counts(None)
+        return False
 
 
 def wavefront_levels(bx: np.ndarray, by: np.ndarray, blog2: np.ndarray,

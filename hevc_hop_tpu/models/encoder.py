@@ -45,6 +45,8 @@ class EncoderConfig:
     # decoded-picture-hash SEI type: checksum is a device-side reduction
     # (no recon transfer); MD5 forces a full-frame fetch
     hash_type: int = 2  # sei.HASH_CHECKSUM
+    # RDOQ level decisions (TComTrQuant.cpp:1489 xRateDistOptQuant analog)
+    rdoq: bool = True
 
 
 class IntraEncoder:
@@ -133,14 +135,36 @@ class IntraEncoder:
         self._sched = (leaves, sizes, data, tu4, scat)
         return self._sched
 
+    @staticmethod
+    def _scatter_outputs(maps, sizes, scat, outs) -> None:
+        for log2 in sizes:
+            best, cbf_y, cbf_c = outs[log2]
+            vm, iy4, ix4, iy8, ix8 = scat[log2]
+            nb = best.shape[1]
+            mv = np.asarray(best).ravel()[vm][:, None, None]
+            cyv = np.asarray(cbf_y).ravel()[vm][:, None, None]
+            cbf_c = np.asarray(cbf_c).reshape(best.shape[0], 2, nb)
+            cbv = cbf_c[:, 0].ravel()[vm][:, None, None]
+            crv = cbf_c[:, 1].ravel()[vm][:, None, None]
+            maps.mode4[iy4, ix4] = mv
+            maps.cbf4_y[iy4, ix4] = cyv
+            maps.cbf8_cb[iy8, ix8] = cbv
+            maps.cbf8_cr[iy8, ix8] = crv
+
     def encode_frame(self, y: np.ndarray, cb: np.ndarray,
                      cr: np.ndarray) -> bytes:
         """Encode one frame; returns the AnnexB byte stream (with headers).
-        Reconstruction is kept on device; see recon_yuv / recon_md5."""
+        Reconstruction is kept on device; see recon_yuv / recon_md5.
+        Per-stage wall-clock telemetry lands in self.last_stats
+        (TEncGOP.cpp:1784 dEncTime analog)."""
+        import time as _time
+        stats = {}
+        t0 = _time.perf_counter()
         cfg = self.cfg
         w, h = cfg.width, cfg.height
         depth8, mode8 = self._decide(y)
         leaves, sizes, data, tu4, scat = self._schedule(depth8)
+        stats["decide_s"] = _time.perf_counter() - t0
 
         maps = native.SliceMaps(w, h, cfg.ctb_log2, max_hier_depth=0)
         maps.depth8[:] = depth8
@@ -171,11 +195,17 @@ class IntraEncoder:
 
         qp = cfg.qp
         qp_c = rom.chroma_qp_from_luma(qp)
-        ry, rc, coef_y, coef_c, outs = wavefront_scan.scan_encode(
+        t1 = _time.perf_counter()
+        (ry, rc, coef_y, coef_c, coef8, wide,
+         outs) = wavefront_scan.scan_encode(
             jnp.asarray(org_y), jnp.asarray(org_c), xs, sizes=sizes, qp=qp,
             qp_c=qp_c, bit_depth=cfg.bit_depth,
-            strong=cfg.strong_intra_smoothing, h=h, hc_off=hc_off)
+            strong=cfg.strong_intra_smoothing, h=h, hc_off=hc_off,
+            use_rdoq=cfg.rdoq, init_type=int(SliceType.I))
+        ry.block_until_ready()
+        stats["scan_s"] = _time.perf_counter() - t1
 
+        t1 = _time.perf_counter()
         ry, rcb, rcr = ry[:h], rc[:hc], rc[hc_off:hc_off + hc]
         if cfg.deblocking:
             ry, rcb, rcr = deblock.deblock_frame(
@@ -189,34 +219,36 @@ class IntraEncoder:
                 _part.full_lambda(qp), cfg.bit_depth)
         self._recon_dev = (ry, rcb, rcr)
         self._recon_np = None
+        ry.block_until_ready()
+        stats["loopfilter_s"] = _time.perf_counter() - t1
 
-        # device->host: int16 coefficients + small per-block outputs
-        maps.coef_y[:] = np.asarray(coef_y)
-        cc = np.asarray(coef_c)
+        # device->host coefficients: int8 fast path (halves the tunnel
+        # traffic); int16 refetch only when some |level| > 127
+        t1 = _time.perf_counter()
+        if bool(wide):
+            maps.coef_y[:] = np.asarray(coef_y)
+            cc = np.asarray(coef_c)
+        else:
+            maps.coef_y[:] = np.asarray(coef8[0], np.int16)
+            cc = np.asarray(coef8[1], np.int16)
         maps.coef_cb[:] = cc[:hc]
         maps.coef_cr[:] = cc[hc_off:hc_off + hc]
+        stats["fetch_s"] = _time.perf_counter() - t1
 
-        for log2 in sizes:
-            best, cbf_y, cbf_c = outs[log2]
-            vm, iy4, ix4, iy8, ix8 = scat[log2]
-            nb = best.shape[1]
-            mv = np.asarray(best).ravel()[vm][:, None, None]
-            cyv = np.asarray(cbf_y).ravel()[vm][:, None, None]
-            cbf_c = np.asarray(cbf_c).reshape(best.shape[0], 2, nb)
-            cbv = cbf_c[:, 0].ravel()[vm][:, None, None]
-            crv = cbf_c[:, 1].ravel()[vm][:, None, None]
-            maps.mode4[iy4, ix4] = mv
-            maps.cbf4_y[iy4, ix4] = cyv
-            maps.cbf8_cb[iy8, ix8] = cbv
-            maps.cbf8_cr[iy8, ix8] = crv
+        # scatter per-block outputs into dense maps (host)
+        t1 = _time.perf_counter()
+        self._scatter_outputs(maps, sizes, scat, outs)
+        stats["maps_s"] = _time.perf_counter() - t1
 
         # entropy: slice header + native slice data
+        t1 = _time.perf_counter()
         sh = params.SliceHeader(slice_type=SliceType.I, slice_qp=qp)
         hw = params.write_slice_header(sh, self.sps, self.pps)
         states = ctx_layout.init_states(int(SliceType.I), qp)
         payload = native.encode_slice_data(states, maps)
         hw.write_bytes(payload)
         slice_nal = nal.make_nal(NalUnitType.IDR_W_RADL, hw.get_bytes())
+        stats["entropy_s"] = _time.perf_counter() - t1
         # decoded-picture-hash SEI (TEncGOP.cpp:1789-1794)
         from hevc_hop_tpu.bitstream import sei
         from hevc_hop_tpu.ops import hashes
@@ -231,7 +263,11 @@ class IntraEncoder:
             sei.write_sei([sei.SEIMessage(
                 sei.PICTURE_HASH,
                 sei.make_picture_hash_payload(digests, cfg.hash_type))]))
-        return nal.annexb_wrap(self.headers() + [slice_nal, sei_nal])
+        out = nal.annexb_wrap(self.headers() + [slice_nal, sei_nal])
+        stats["total_s"] = _time.perf_counter() - t0
+        stats["bytes"] = len(out)
+        self.last_stats = stats
+        return out
 
     @property
     def recon_yuv(self):

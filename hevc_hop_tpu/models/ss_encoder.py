@@ -43,6 +43,11 @@ class HoloConfig:
     strong_intra_smoothing: bool = True
     deblocking: bool = True
     sao: bool = False
+    # RDOQ level decisions (TComTrQuant.cpp:1489 xRateDistOptQuant analog)
+    rdoq: bool = True
+    # decoded-picture-hash SEI type: checksum is a device-side reduction
+    # (no recon transfer); MD5 forces a full-frame fetch
+    hash_type: int = 2  # sei.HASH_CHECKSUM
 
 
 class HoloEncoder:
@@ -83,37 +88,63 @@ class HoloEncoder:
             self.recon_history.append(self.recon_yuv)
         return b"".join(out)
 
-    def encode_frame(self, y: np.ndarray, cb: np.ndarray,
-                     cr: np.ndarray) -> bytes:
+    def _prep(self, temporal: bool):
+        """Schedule + static search planes + scatter indices, computed once
+        per encoder (geometry and QP are fixed per instance; HM re-derives
+        per CTU, TEncSlice.cpp:1000). Cached on self."""
+        key = temporal
+        cache = getattr(self, "_prep_cache", None)
+        if cache is not None and key in cache:
+            return cache[key]
         cfg = self.cfg
         w, h = cfg.width, cfg.height
         n = 1 << cfg.cu_log2
-        qp, qp_c = cfg.qp, rom.chroma_qp_from_luma(cfg.qp)
+        qp = cfg.qp
         radius = cfg.search_range
-
         leaves = [(x, yy, cfg.cu_log2)
                   for cy in range(0, h, 1 << cfg.ctb_log2)
                   for cx in range(0, w, 1 << cfg.ctb_log2)
                   for yy in range(cy, min(cy + (1 << cfg.ctb_log2), h), n)
                   for x in range(cx, min(cx + (1 << cfg.ctb_log2), w), n)]
-        sizes, data, nsteps = ss_scan.build_schedule_ss(
+        sizes, data, _ = ss_scan.build_schedule_ss(
             leaves, w, h, cfg.ctb_log2, radius)
-
         lam = partition.full_lambda(qp)
         zplane4 = ss_scan.wavefront.zaddr4_plane(w, h, cfg.ctb_log2)
-        zmaxw, rate_maps, zmax2n, xs = {}, {}, {}, {}
+        zmaxw, rate_maps, trate_maps, zmax2n, xs, scat = {}, {}, {}, {}, {}, {}
         for log2 in sizes:
             nn = 1 << log2
             d = data[log2]
             zmaxw[log2] = jnp.asarray(ss_scan.zmax_win_px(zplane4, nn))
             rate_maps[log2] = jnp.asarray(
                 ss_scan.mvd_rate_map(radius, nn, cfg.mi_size, lam))
+            if temporal:
+                trate_maps[log2] = jnp.asarray(
+                    ss_scan.mvd_rate_map(cfg.search_range_t, nn, 0, lam))
             zmax2n[log2] = jnp.asarray(
                 ss_scan.zmax_win_px(zplane4, 2 * nn, ifm=2)) if cfg.gt \
                 else jnp.zeros((1, 1), jnp.int32)
             xs[log2] = (jnp.asarray(d["pos"]), jnp.asarray(d["avail"]),
                         jnp.asarray(d["availc"]), jnp.asarray(d["zcur"]))
+            # vectorized scatter indices (valid leaves only)
+            vm = d["valid"].ravel()
+            px = d["pos"][..., 0].ravel()[vm]
+            py = d["pos"][..., 1].ravel()[vm]
+            u4 = nn // 4
+            iy4 = py[:, None, None] // 4 + np.arange(u4)[None, :, None]
+            ix4 = px[:, None, None] // 4 + np.arange(u4)[None, None, :]
+            u8 = nn // 8
+            iy8 = py[:, None, None] // 8 + np.arange(u8)[None, :, None]
+            ix8 = px[:, None, None] // 8 + np.arange(u8)[None, None, :]
+            scat[log2] = (vm, px, py, iy4, ix4, iy8, ix8)
+        prep = (sizes, data, zmaxw, rate_maps, trate_maps, zmax2n, xs, scat)
+        if cache is None:
+            self._prep_cache = {}
+        self._prep_cache[key] = prep
+        return prep
 
+    def _upload(self, y, cb, cr):
+        cfg = self.cfg
+        w, h = cfg.width, cfg.height
         pad = 1 << cfg.ctb_log2
         org_y = jnp.zeros((h + pad, w), jnp.int32).at[:h].set(
             jnp.asarray(y, jnp.int32))
@@ -121,12 +152,56 @@ class HoloEncoder:
             jnp.asarray(cb, jnp.int32))
         org_cr = jnp.zeros((h // 2 + pad, w // 2), jnp.int32).at[:h // 2].set(
             jnp.asarray(cr, jnp.int32))
+        return org_y, org_cb, org_cr
+
+    def _fill_maps(self, maps, sizes, scat, outs, pss: bool):
+        """Dense syntax maps from per-step outputs: ONE vectorized scatter
+        per (size, map) instead of per-leaf Python loops."""
+        for log2 in sizes:
+            if pss:
+                (inter, refsel, mv, imode, cbf, cbf_b, cbf_r,
+                 gtflag, gtc) = outs[log2]
+            else:
+                inter, mv, imode, cbf, cbf_b, cbf_r, gtflag, gtc = outs[log2]
+                refsel = None
+            vm, px, py, iy4, ix4, iy8, ix8 = scat[log2]
+            e = lambda a: np.asarray(a).reshape(-1)[vm]
+            iv = e(inter)
+            mvx = np.asarray(mv[..., 0]).reshape(-1)[vm] * 4
+            mvy = np.asarray(mv[..., 1]).reshape(-1)[vm] * 4
+            col = lambda v: v[:, None, None]
+            maps.pred4[iy4, ix4] = col(np.where(iv, 0, 1).astype(np.uint8))
+            maps.mode4[iy4, ix4] = col(
+                np.where(iv, 1, e(imode)).astype(np.uint8))
+            maps.mv4x[iy4, ix4] = col(np.where(iv, mvx, 0).astype(np.int16))
+            maps.mv4y[iy4, ix4] = col(np.where(iv, mvy, 0).astype(np.int16))
+            maps.cbf4_y[iy4, ix4] = col(e(cbf).astype(np.uint8))
+            if refsel is not None:
+                maps.ref4[iy4, ix4] = col(
+                    np.where(iv, e(refsel), 0).astype(np.uint8))
+            maps.cbf8_cb[iy8, ix8] = col(e(cbf_b).astype(np.uint8))
+            maps.cbf8_cr[iy8, ix8] = col(e(cbf_r).astype(np.uint8))
+            gf = e(gtflag)
+            gv = np.asarray(gtc).reshape(-1, 6)[vm]
+            maps.gt8[py // 8, px // 8] = gf.astype(np.uint8)
+            maps.gtv8[py // 8, px // 8] = \
+                np.where(gf[:, None], gv, 0).astype(np.int16)
+
+    def encode_frame(self, y: np.ndarray, cb: np.ndarray,
+                     cr: np.ndarray) -> bytes:
+        cfg = self.cfg
+        w, h = cfg.width, cfg.height
+        qp, qp_c = cfg.qp, rom.chroma_qp_from_luma(cfg.qp)
+        radius = cfg.search_range
+        sizes, data, zmaxw, rate_maps, _, zmax2n, xs, scat = \
+            self._prep(temporal=False)
+        org_y, org_cb, org_cr = self._upload(y, cb, cr)
 
         ry, rcb, rcr, coef_y, coef_cb, coef_cr, outs = ss_scan.scan_encode_iss(
             org_y, org_cb, org_cr, xs, zmaxw, rate_maps, zmax2n,
             sizes=sizes, qp=qp, qp_c=qp_c, bit_depth=cfg.bit_depth,
             strong=cfg.strong_intra_smoothing, w=w, h=h, radius=radius,
-            gt=cfg.gt)
+            gt=cfg.gt, use_rdoq=cfg.rdoq)
 
         maps = native.SliceMaps(w, h, cfg.ctb_log2, max_hier_depth=0)
         maps.slice_type = int(SliceType.ISS)
@@ -136,42 +211,7 @@ class HoloEncoder:
         maps.coef_y[:] = np.asarray(coef_y[:h], np.int16)
         maps.coef_cb[:] = np.asarray(coef_cb[:h // 2], np.int16)
         maps.coef_cr[:] = np.asarray(coef_cr[:h // 2], np.int16)
-
-        for log2 in sizes:
-            nn = 1 << log2
-            d = data[log2]
-            inter, mv, imode, cbf, cbf_b, cbf_r, gtflag, gtc = outs[log2]
-            vm = d["valid"].ravel()
-            px = d["pos"][..., 0].ravel()[vm]
-            py = d["pos"][..., 1].ravel()[vm]
-            iv = np.asarray(inter).ravel()[vm]
-            mvx = np.asarray(mv[..., 0]).reshape(-1)[vm] * 4
-            mvy = np.asarray(mv[..., 1]).reshape(-1)[vm] * 4
-            mo = np.asarray(imode).ravel()[vm]
-            gf = np.asarray(gtflag).ravel()[vm]
-            gv = np.asarray(gtc).reshape(-1, 6)[vm]
-            cy_ = np.asarray(cbf).ravel()[vm].astype(np.uint8)
-            cbv = np.asarray(cbf_b).ravel()[vm].astype(np.uint8)
-            crv = np.asarray(cbf_r).ravel()[vm].astype(np.uint8)
-            for dy in range(nn // 4):
-                for dx in range(nn // 4):
-                    maps.pred4[py // 4 + dy, px // 4 + dx] = \
-                        np.where(iv, 0, 1).astype(np.uint8)
-                    maps.mode4[py // 4 + dy, px // 4 + dx] = \
-                        np.where(iv, 1, mo).astype(np.uint8)
-                    maps.mv4x[py // 4 + dy, px // 4 + dx] = \
-                        np.where(iv, mvx, 0).astype(np.int16)
-                    maps.mv4y[py // 4 + dy, px // 4 + dx] = \
-                        np.where(iv, mvy, 0).astype(np.int16)
-                    maps.cbf4_y[py // 4 + dy, px // 4 + dx] = cy_
-            for dy in range(nn // 8):
-                for dx in range(nn // 8):
-                    maps.cbf8_cb[py // 8 + dy, px // 8 + dx] = cbv
-                    maps.cbf8_cr[py // 8 + dy, px // 8 + dx] = crv
-            # GT flag + 3 coded corner vectors live at the CU's first 8x8
-            maps.gt8[py // 8, px // 8] = gf.astype(np.uint8)
-            maps.gtv8[py // 8, px // 8] = \
-                np.where(gf[:, None], gv, 0).astype(np.int16)
+        self._fill_maps(maps, sizes, scat, outs, pss=False)
 
         ry, rcb, rcr = ry[:h], rcb[:h // 2], rcr[:h // 2]
         if cfg.deblocking:
@@ -185,9 +225,8 @@ class HoloEncoder:
             ry, rcb, rcr = saop.rdo_and_apply(
                 (y, cb, cr), (ry, rcb, rcr), maps, cfg.ctb_log2,
                 partition.full_lambda(qp), cfg.bit_depth)
-        self.recon_yuv = (np.asarray(ry, np.int32),
-                          np.asarray(rcb, np.int32),
-                          np.asarray(rcr, np.int32))
+        self._recon_dev = (ry, rcb, rcr)
+        self._recon_np = None
 
         self.last_maps = maps
         sh = params.SliceHeader(slice_type=SliceType.ISS, slice_qp=qp)
@@ -204,46 +243,13 @@ class HoloEncoder:
         """One PSS picture: L0 = [previous filtered recon, SS ref(last)]."""
         cfg = self.cfg
         w, h = cfg.width, cfg.height
-        n = 1 << cfg.cu_log2
         qp, qp_c = cfg.qp, rom.chroma_qp_from_luma(cfg.qp)
         radius = cfg.search_range
-
-        leaves = [(x, yy, cfg.cu_log2)
-                  for cy in range(0, h, 1 << cfg.ctb_log2)
-                  for cx in range(0, w, 1 << cfg.ctb_log2)
-                  for yy in range(cy, min(cy + (1 << cfg.ctb_log2), h), n)
-                  for x in range(cx, min(cx + (1 << cfg.ctb_log2), w), n)]
-        sizes, data, nsteps = ss_scan.build_schedule_ss(
-            leaves, w, h, cfg.ctb_log2, radius)
-
-        lam = partition.full_lambda(qp)
-        zplane4 = ss_scan.wavefront.zaddr4_plane(w, h, cfg.ctb_log2)
-        zmaxw, rate_maps, trate_maps, zmax2n, xs = {}, {}, {}, {}, {}
-        for log2 in sizes:
-            nn = 1 << log2
-            d = data[log2]
-            zmaxw[log2] = jnp.asarray(ss_scan.zmax_win_px(zplane4, nn))
-            rate_maps[log2] = jnp.asarray(
-                ss_scan.mvd_rate_map(radius, nn, cfg.mi_size, lam))
-            trate_maps[log2] = jnp.asarray(
-                ss_scan.mvd_rate_map(cfg.search_range_t, nn, 0, lam))
-            zmax2n[log2] = jnp.asarray(
-                ss_scan.zmax_win_px(zplane4, 2 * nn, ifm=2)) if cfg.gt \
-                else jnp.zeros((1, 1), jnp.int32)
-            xs[log2] = (jnp.asarray(d["pos"]), jnp.asarray(d["avail"]),
-                        jnp.asarray(d["availc"]), jnp.asarray(d["zcur"]))
-
-        pad = 1 << cfg.ctb_log2
-        org_y = jnp.zeros((h + pad, w), jnp.int32).at[:h].set(
-            jnp.asarray(y, jnp.int32))
-        org_cb = jnp.zeros((h // 2 + pad, w // 2), jnp.int32).at[:h // 2].set(
-            jnp.asarray(cb, jnp.int32))
-        org_cr = jnp.zeros((h // 2 + pad, w // 2), jnp.int32).at[:h // 2].set(
-            jnp.asarray(cr, jnp.int32))
-        py_, pcb, pcr = self.recon_yuv
-        ref_y = jnp.asarray(py_, jnp.int32)
-        ref_cb = jnp.asarray(pcb, jnp.int32)
-        ref_cr = jnp.asarray(pcr, jnp.int32)
+        sizes, data, zmaxw, rate_maps, trate_maps, zmax2n, xs, scat = \
+            self._prep(temporal=True)
+        org_y, org_cb, org_cr = self._upload(y, cb, cr)
+        ref_y, ref_cb, ref_cr = (jnp.asarray(p, jnp.int32)
+                                 for p in self._recon_dev)
 
         ry, rcb, rcr, coef_y, coef_cb, coef_cr, outs = \
             ss_scan.scan_encode_pss(
@@ -251,7 +257,7 @@ class HoloEncoder:
                 xs, zmaxw, rate_maps, trate_maps, zmax2n, sizes=sizes,
                 qp=qp, qp_c=qp_c, bit_depth=cfg.bit_depth,
                 strong=cfg.strong_intra_smoothing, w=w, h=h, radius=radius,
-                radius_t=cfg.search_range_t, gt=cfg.gt)
+                radius_t=cfg.search_range_t, gt=cfg.gt, use_rdoq=cfg.rdoq)
 
         maps = native.SliceMaps(w, h, cfg.ctb_log2, max_hier_depth=0)
         maps.slice_type = int(SliceType.PSS)
@@ -262,45 +268,7 @@ class HoloEncoder:
         maps.coef_y[:] = np.asarray(coef_y[:h], np.int16)
         maps.coef_cb[:] = np.asarray(coef_cb[:h // 2], np.int16)
         maps.coef_cr[:] = np.asarray(coef_cr[:h // 2], np.int16)
-
-        for log2 in sizes:
-            nn = 1 << log2
-            d = data[log2]
-            (inter, refsel, mv, imode, cbf, cbf_b, cbf_r,
-             gtflag, gtc) = outs[log2]
-            vm = d["valid"].ravel()
-            px = d["pos"][..., 0].ravel()[vm]
-            py = d["pos"][..., 1].ravel()[vm]
-            iv = np.asarray(inter).ravel()[vm]
-            rs = np.asarray(refsel).ravel()[vm]
-            mvx = np.asarray(mv[..., 0]).reshape(-1)[vm] * 4
-            mvy = np.asarray(mv[..., 1]).reshape(-1)[vm] * 4
-            mo = np.asarray(imode).ravel()[vm]
-            gf = np.asarray(gtflag).ravel()[vm]
-            gv = np.asarray(gtc).reshape(-1, 6)[vm]
-            cy_ = np.asarray(cbf).ravel()[vm].astype(np.uint8)
-            cbv = np.asarray(cbf_b).ravel()[vm].astype(np.uint8)
-            crv = np.asarray(cbf_r).ravel()[vm].astype(np.uint8)
-            for dy in range(nn // 4):
-                for dx in range(nn // 4):
-                    maps.pred4[py // 4 + dy, px // 4 + dx] = \
-                        np.where(iv, 0, 1).astype(np.uint8)
-                    maps.mode4[py // 4 + dy, px // 4 + dx] = \
-                        np.where(iv, 1, mo).astype(np.uint8)
-                    maps.mv4x[py // 4 + dy, px // 4 + dx] = \
-                        np.where(iv, mvx, 0).astype(np.int16)
-                    maps.mv4y[py // 4 + dy, px // 4 + dx] = \
-                        np.where(iv, mvy, 0).astype(np.int16)
-                    maps.ref4[py // 4 + dy, px // 4 + dx] = \
-                        np.where(iv, rs, 0).astype(np.uint8)
-                    maps.cbf4_y[py // 4 + dy, px // 4 + dx] = cy_
-            for dy in range(nn // 8):
-                for dx in range(nn // 8):
-                    maps.cbf8_cb[py // 8 + dy, px // 8 + dx] = cbv
-                    maps.cbf8_cr[py // 8 + dy, px // 8 + dx] = crv
-            maps.gt8[py // 8, px // 8] = gf.astype(np.uint8)
-            maps.gtv8[py // 8, px // 8] = \
-                np.where(gf[:, None], gv, 0).astype(np.int16)
+        self._fill_maps(maps, sizes, scat, outs, pss=True)
 
         ry, rcb, rcr = ry[:h], rcb[:h // 2], rcr[:h // 2]
         if cfg.deblocking:
@@ -314,9 +282,8 @@ class HoloEncoder:
             ry, rcb, rcr = saop.rdo_and_apply(
                 (y, cb, cr), (ry, rcb, rcr), maps, cfg.ctb_log2,
                 partition.full_lambda(qp), cfg.bit_depth)
-        self.recon_yuv = (np.asarray(ry, np.int32),
-                          np.asarray(rcb, np.int32),
-                          np.asarray(rcr, np.int32))
+        self._recon_dev = (ry, rcb, rcr)
+        self._recon_np = None
 
         self.last_maps = maps
         sh = params.SliceHeader(slice_type=SliceType.PSS, slice_qp=qp,
@@ -329,13 +296,31 @@ class HoloEncoder:
         slice_nal = nal.make_nal(NalUnitType.TRAIL_R, hw.get_bytes())
         return nal.annexb_wrap([slice_nal, self._hash_sei()])
 
+    @property
+    def recon_yuv(self):
+        if self._recon_np is None:
+            ry, rcb, rcr = self._recon_dev
+            self._recon_np = (np.asarray(ry, np.int32),
+                              np.asarray(rcb, np.int32),
+                              np.asarray(rcr, np.int32))
+        return self._recon_np
+
     def _hash_sei(self) -> bytes:
         from hevc_hop_tpu.bitstream import sei
-        digests = sei.plane_md5s(*self.recon_yuv, self.cfg.bit_depth)
+        from hevc_hop_tpu.ops import hashes
+        if self.cfg.hash_type == sei.HASH_CHECKSUM:
+            digests = hashes.checksum_digests(*self._recon_dev,
+                                              self.cfg.bit_depth)
+        elif self.cfg.hash_type == sei.HASH_CRC:
+            digests = hashes.crc_digests(*self.recon_yuv, self.cfg.bit_depth)
+        else:
+            digests = sei.plane_md5s(*self.recon_yuv, self.cfg.bit_depth)
         return nal.make_nal(
             NalUnitType.SUFFIX_SEI_NUT,
             sei.write_sei([sei.SEIMessage(
-                sei.PICTURE_HASH, sei.make_picture_hash_payload(digests))]))
+                sei.PICTURE_HASH,
+                sei.make_picture_hash_payload(digests,
+                                              self.cfg.hash_type))]))
 
     def recon_md5(self) -> bytes:
         y, cb, cr = self.recon_yuv

@@ -28,7 +28,17 @@ import numpy as np
 from numpy.lib.stride_tricks import sliding_window_view
 
 from hevc_hop_tpu.models import partition, wavefront
-from hevc_hop_tpu.ops import interp, intra, quant, transform
+from hevc_hop_tpu.ops import interp, intra, quant, rdoq, transform
+
+
+def _mdcs_intra(inter, imode, n, c_idx=0):
+    """[B] MDCS scan id: diag for inter blocks, mode-dependent for intra
+    4x4 (any plane) / 8x8 luma (H.265 8.4.4.2.7)."""
+    if not (n == 4 or (n == 8 and c_idx == 0)):
+        return jnp.zeros(imode.shape, jnp.int32)
+    s = jnp.where((imode >= 22) & (imode <= 30), 1,
+                  jnp.where((imode >= 6) & (imode <= 14), 2, 0))
+    return jnp.where(inter, 0, s).astype(jnp.int32)
 
 IFM = 4          # luma margin covering the chroma MC filter reach
 INTRA_BITS = 8.0  # flag + mode rate proxy for the SSE-domain tournament
@@ -299,25 +309,6 @@ def _gt4(gtc: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([gtc, bl[..., None, :]], axis=-2)
 
 
-def _gt_homography(gtc: jnp.ndarray, n: int, scale: float = 1.0,
-                   shift=None) -> jnp.ndarray:
-    """Affine homography params from coded corners for an n-block whose
-    2n-window grid is GRID*n. scale=0.5 + shift for chroma (the residual
-    half-pel of the luma MV folds into the translation terms h6/h7 —
-    exact for affine warps, ref xPredGTChroma TComPrediction.cpp:1351)."""
-    from hevc_hop_tpu.ops import warp as warpop
-    g4 = _gt4(gtc).astype(jnp.float32) * scale
-    g = warpop.GRID * n
-    base_x = jnp.asarray([0, g - 1, g - 1, 0], jnp.float32)
-    base_y = jnp.asarray([0, 0, g - 1, g - 1], jnp.float32)
-    h = warpop.calc_param_projective(g4[..., 0] + base_x,
-                                     g4[..., 1] + base_y, g, g)
-    if shift is not None:
-        h = h.at[..., 6].add(shift[..., 0])
-        h = h.at[..., 7].add(shift[..., 1])
-    return h
-
-
 def _gt_window(plane, pos, mv_px, n, h_clip):
     """Gather the [B, 2n, 2n] GT reference window centered on pos+mv."""
     y0 = pos[:, 1] + mv_px[:, 1] - n // 2
@@ -332,8 +323,8 @@ def gt_pred_luma(plane, pos, mv_px, gtc, n, h_clip, bit_depth):
     """Decoder-grade GT luma prediction (shared by encoder tournament)."""
     from hevc_hop_tpu.ops import warp as warpop
     win = _gt_window(plane, pos, mv_px, n, h_clip)
-    h = _gt_homography(gtc, n)
-    return warpop.warp_blocks(win, h, n, bit_depth)
+    pred, _ = warpop.warp_blocks(win, _gt4(gtc), n, bit_depth)
+    return pred
 
 
 def gt_pred_chroma(plane, cpos, mv_px, gtc, m, h_clip, bit_depth):
@@ -357,8 +348,32 @@ def gt_pred_chroma(plane, cpos, mv_px, gtc, m, h_clip, bit_depth):
     win = plane[jnp.clip(ry, 0, h_clip - 1),
                 jnp.clip(rx, 0, plane.shape[1] - 1)]
     fwin = interp.filter_2d(win, wh, wv, 2 * m, bit_depth)
-    h = _gt_homography(gtc, m, scale=0.5)
-    return warpop.warp_blocks(fwin, h, m, bit_depth)
+    # coded corner vectors / 2 = chroma corner offsets in half-pel units
+    pred, _ = warpop.warp_blocks(fwin, _gt4(gtc), m, bit_depth, half=True)
+    return pred
+
+
+def gt_chroma_safe(plane, cpos, mv_px, gtc, m, h_clip, bit_depth):
+    """Safety mask of the chroma GT warp (same window/filter pipeline as
+    gt_pred_chroma): False where the reference's float64 path could round
+    differently. Checked by the encoder before setting gt_flag."""
+    from hevc_hop_tpu.ops import warp as warpop
+    cf = jnp.asarray(interp.CHROMA_FILTER)
+    mvc = mv_px >> 1
+    phase = (mv_px & 1) * 4
+    wh = cf[phase[:, 0]]
+    wv = cf[phase[:, 1]]
+    t = 4
+    y0 = cpos[:, 1] + mvc[:, 1] - m // 2 - (t // 2 - 1)
+    x0 = cpos[:, 0] + mvc[:, 0] - m // 2 - (t // 2 - 1)
+    wlen = 2 * m + t - 1
+    ry = y0[:, None, None] + jnp.arange(wlen)[None, :, None]
+    rx = x0[:, None, None] + jnp.arange(wlen)[None, None, :]
+    win = plane[jnp.clip(ry, 0, h_clip - 1),
+                jnp.clip(rx, 0, plane.shape[1] - 1)]
+    fwin = interp.filter_2d(win, wh, wv, 2 * m, bit_depth)
+    _, safe = warpop.warp_blocks(fwin, _gt4(gtc), m, bit_depth, half=True)
+    return safe
 
 
 def _gt_bits(gtc: jnp.ndarray) -> jnp.ndarray:
@@ -390,16 +405,21 @@ def _gt_search(recon, org, pos, mv, n, lam, h, bit_depth, iters: int = 6):
     moves_j = jnp.asarray(moves)
 
     def eval_cands(gtk):
-        """gtk: [B, K, 3, 2] -> (sse+rate [B, K], preds [B, K, n, n])."""
+        """gtk: [B, K, 3, 2] -> (sse+rate [B, K], preds [B, K, n, n]).
+        Luma knife-edge candidates (warp safety mask False) cost +inf so
+        the search converges onto reference-decoder-exact corner sets;
+        the scan step's final gate re-checks chroma (gt_chroma_safe)."""
         k = gtk.shape[1]
-        hparams = _gt_homography(gtk, n)
+        c4 = _gt4(gtk).reshape(b * k, 4, 2)
         winb = jnp.broadcast_to(win[:, None], (b, k, 2 * n, 2 * n))
-        preds = warpop.warp_blocks(
-            winb.reshape(b * k, 2 * n, 2 * n),
-            hparams.reshape(b * k, 9), n, bit_depth).reshape(b, k, n, n)
+        preds, safe = warpop.warp_blocks(
+            winb.reshape(b * k, 2 * n, 2 * n), c4, n, bit_depth)
+        preds = preds.reshape(b, k, n, n)
+        safe = safe.reshape(b, k)
         sse = jnp.sum((of[:, None] - preds.astype(jnp.float32)) ** 2,
                       axis=(2, 3))
-        return sse + lam * _gt_bits(gtk), preds
+        return jnp.where(safe, sse + lam * _gt_bits(gtk), jnp.float32(1e30)
+                         ), preds
 
     gtc = jnp.zeros((b, 3, 2), jnp.int32)
     cost0, pred0 = eval_cands(gtc[:, None])
@@ -424,13 +444,26 @@ def _gt_search(recon, org, pos, mv, n, lam, h, bit_depth, iters: int = 6):
     return gtc, best_pred, best_cost
 
 
-def _tqr(org, pred, n, qp, bit_depth, intra_flag=None):
-    """Transform/quant/dequant/inv-transform/recon for one batch."""
+def _tqr(org, pred, n, qp, bit_depth, rdoq_cfg=None, scan_id=None,
+         c_idx=0):
+    """Transform/quant/dequant/inv-transform/recon for one batch.
+
+    rdoq_cfg: None for the plain dead-zone quantizer, or (init_type, lam)
+    for RDOQ level decisions (ops/rdoq.py); scan_id [B] selects the MDCS
+    scan (intra 4x4/8x8 only; inter blocks pass diag)."""
     log2 = n.bit_length() - 1
     resi = org - pred
     use_dst = False  # DST only for 4x4 intra luma; ISS CUs are >= 8
     coef = transform.fwd_transform(resi, bit_depth, use_dst)
-    lev = quant.quant(coef, qp, log2, bit_depth, True)
+    if rdoq_cfg is None:
+        lev = quant.quant(coef, qp, log2, bit_depth, True)
+    else:
+        init_type, lam = rdoq_cfg
+        if scan_id is None:
+            scan_id = jnp.zeros(org.shape[:1], jnp.int32)
+        lev = rdoq.rdoq_quant(coef, scan_id, qp=qp, log2_size=log2,
+                              bit_depth=bit_depth, c_idx=c_idx,
+                              init_type=init_type, lam=lam)
     deq = quant.dequant(lev, qp, log2, bit_depth)
     rq = transform.inv_transform(deq, bit_depth, use_dst)
     rec = jnp.clip(pred + rq, 0, (1 << bit_depth) - 1)
@@ -439,11 +472,12 @@ def _tqr(org, pred, n, qp, bit_depth, intra_flag=None):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "sizes", "qp", "qp_c", "bit_depth", "strong", "w", "h", "radius", "gt"))
+    "sizes", "qp", "qp_c", "bit_depth", "strong", "w", "h", "radius", "gt",
+    "use_rdoq"))
 def scan_encode_iss(org_y, org_cb, org_cr, xs, zmaxw, rate_maps, zmax2n,
                     sizes: tuple, qp: int, qp_c: int, bit_depth: int,
                     strong: bool, w: int, h: int, radius: int,
-                    gt: bool = False):
+                    gt: bool = False, use_rdoq: bool = False):
     """ISS whole-frame encode as one scan.
 
     xs: {log2: (pos [S,B,2], avail, availc, zcur [S,B])}
@@ -459,6 +493,8 @@ def scan_encode_iss(org_y, org_cb, org_cr, xs, zmaxw, rate_maps, zmax2n,
     ccr = jnp.zeros_like(org_cr)
     lam = partition.full_lambda(qp)
     lam_i = lam * INTRA_BITS
+    rcfg_y = (3, lam) if use_rdoq else None           # init_type ISS
+    rcfg_c = (3, lam * 2.0 ** ((qp_c - qp) / 3.0)) if use_rdoq else None
 
     def step(carry, x):
         ry, rcb, rcr, cy_, ccb, ccr = carry
@@ -492,7 +528,14 @@ def scan_encode_iss(org_y, org_cb, org_cr, xs, zmaxw, rate_maps, zmax2n,
                     ry, org, pos, anchor, n, lam, h, bit_depth)
                 gcost = gsse + gtrate + lam
                 nonzero = jnp.any(gtc != 0, axis=(1, 2))
-                gtflag = (gtok & nonzero & (gcost < sscost)
+                cpos_g = pos // 2
+                cpos_g = cpos_g.at[:, 1].set(
+                    jnp.where(pos[:, 1] >= h, h // 2, cpos_g[:, 1]))
+                csafe = (gt_chroma_safe(rcb, cpos_g, anchor, gtc, n // 2,
+                                        h // 2, bit_depth)
+                         & gt_chroma_safe(rcr, cpos_g, anchor, gtc, n // 2,
+                                          h // 2, bit_depth))
+                gtflag = (gtok & nonzero & csafe & (gcost < sscost)
                           & (gcost < icost))
             else:
                 gtc = jnp.zeros(pos.shape[:1] + (3, 2), jnp.int32)
@@ -503,7 +546,8 @@ def scan_encode_iss(org_y, org_cb, org_cr, xs, zmaxw, rate_maps, zmax2n,
             mv = jnp.where(gtflag[:, None], anchor, mv)
             pred = jnp.where(gtflag[:, None, None], gpred,
                              jnp.where(inter[:, None, None], sspred, ipred))
-            lev, rec, cbf = _tqr(org, pred, n, qp, bit_depth)
+            lev, rec, cbf = _tqr(org, pred, n, qp, bit_depth, rcfg_y,
+                                 _mdcs_intra(inter, imode, n), 0)
             ry = ry.at[rows, cols].set(rec)
             cy_ = cy_.at[rows, cols].set(lev)
 
@@ -526,7 +570,9 @@ def scan_encode_iss(org_y, org_cb, org_cr, xs, zmaxw, rate_maps, zmax2n,
                     cgt = gt_pred_chroma(rc, cpos, mv, gtc, m, h // 2,
                                          bit_depth)
                     cpred = jnp.where(gtflag[:, None, None], cgt, cpred)
-                clev, crec, ccbf = _tqr(orgc, cpred, m, qp_c, bit_depth)
+                clev, crec, ccbf = _tqr(orgc, cpred, m, qp_c, bit_depth,
+                                        rcfg_c,
+                                        _mdcs_intra(inter, imode, m, 1), 1)
                 rc = rc.at[crows, ccols].set(crec)
                 cc = cc.at[crows, ccols].set(clev)
                 return rc, cc, ccbf
@@ -543,12 +589,12 @@ def scan_encode_iss(org_y, org_cb, org_cr, xs, zmaxw, rate_maps, zmax2n,
 
 @functools.partial(jax.jit, static_argnames=(
     "sizes", "qp", "qp_c", "bit_depth", "strong", "w", "h", "radius",
-    "radius_t", "gt"))
+    "radius_t", "gt", "use_rdoq"))
 def scan_encode_pss(org_y, org_cb, org_cr, ref_y, ref_cb, ref_cr,
                     xs, zmaxw, rate_maps, trate_maps, zmax2n,
                     sizes: tuple, qp: int, qp_c: int, bit_depth: int,
                     strong: bool, w: int, h: int, radius: int,
-                    radius_t: int, gt: bool = False):
+                    radius_t: int, gt: bool = False, use_rdoq: bool = False):
     """PSS whole-frame encode: intra / temporal MC / SS / GT tournament.
 
     ref_*: previous picture's filtered recon (the temporal L0[0]); the SS
@@ -564,6 +610,8 @@ def scan_encode_pss(org_y, org_cb, org_cr, ref_y, ref_cb, ref_cr,
     ccr = jnp.zeros_like(org_cr)
     lam = partition.full_lambda(qp)
     lam_i = lam * INTRA_BITS
+    rcfg_y = (4, lam) if use_rdoq else None           # init_type PSS
+    rcfg_c = (4, lam * 2.0 ** ((qp_c - qp) / 3.0)) if use_rdoq else None
 
     def step(carry, x):
         ry, rcb, rcr, cy_, ccb, ccr = carry
@@ -596,7 +644,14 @@ def scan_encode_pss(org_y, org_cb, org_cr, ref_y, ref_cb, ref_cr,
                     ry, org, pos, anchor, n, lam, h, bit_depth)
                 gcost = gsse + gtrate + lam
                 nonzero = jnp.any(gtc != 0, axis=(1, 2))
-                gtflag = (gtok & nonzero & (gcost < sscost)
+                cpos_g = pos // 2
+                cpos_g = cpos_g.at[:, 1].set(
+                    jnp.where(pos[:, 1] >= h, h // 2, cpos_g[:, 1]))
+                csafe = (gt_chroma_safe(rcb, cpos_g, anchor, gtc, n // 2,
+                                        h // 2, bit_depth)
+                         & gt_chroma_safe(rcr, cpos_g, anchor, gtc, n // 2,
+                                          h // 2, bit_depth))
+                gtflag = (gtok & nonzero & csafe & (gcost < sscost)
                           & (gcost < icost) & (gcost < tcost))
             else:
                 gtc = jnp.zeros(pos.shape[:1] + (3, 2), jnp.int32)
@@ -614,7 +669,8 @@ def scan_encode_pss(org_y, org_cb, org_cr, ref_y, ref_cb, ref_cr,
                 gtflag[:, None, None], gpred,
                 jnp.where(use_ss[:, None, None], sspred,
                           jnp.where(inter[:, None, None], tpred, ipred)))
-            lev, rec, cbf = _tqr(org, pred, n, qp, bit_depth)
+            lev, rec, cbf = _tqr(org, pred, n, qp, bit_depth, rcfg_y,
+                                 _mdcs_intra(inter, imode, n), 0)
             ry = ry.at[rows, cols].set(rec)
             cy_ = cy_.at[rows, cols].set(lev)
 
@@ -639,7 +695,9 @@ def scan_encode_pss(org_y, org_cb, org_cr, ref_y, ref_cb, ref_cr,
                     cgt = gt_pred_chroma(rc, cpos, mv, gtc, m, h // 2,
                                          bit_depth)
                     cpred = jnp.where(gtflag[:, None, None], cgt, cpred)
-                clev, crec, ccbf = _tqr(orgc, cpred, m, qp_c, bit_depth)
+                clev, crec, ccbf = _tqr(orgc, cpred, m, qp_c, bit_depth,
+                                        rcfg_c,
+                                        _mdcs_intra(inter, imode, m, 1), 1)
                 rc = rc.at[crows, ccols].set(crec)
                 cc = cc.at[crows, ccols].set(clev)
                 return rc, cc, ccbf

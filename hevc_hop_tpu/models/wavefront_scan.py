@@ -21,8 +21,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hevc_hop_tpu.ops import intra, quant, transform
+from hevc_hop_tpu.ops import intra, quant, rdoq, transform
 from hevc_hop_tpu.models import wavefront
+
+
+def _mdcs_scan_id(modes: jnp.ndarray, n: int, c_idx: int) -> jnp.ndarray:
+    """Mode-dependent coefficient scan (H.265 8.4.4.2.7): 4x4 any plane and
+    8x8 luma use horizontal scan for near-vertical modes, vertical for
+    near-horizontal; diag otherwise."""
+    if not (n == 4 or (n == 8 and c_idx == 0)):
+        return jnp.zeros(modes.shape, jnp.int32)
+    return jnp.where((modes >= 22) & (modes <= 30), 1,
+                     jnp.where((modes >= 6) & (modes <= 14), 2, 0)
+                     ).astype(jnp.int32)
 
 
 def build_schedule(blocks, w: int, h: int, ctb_log2: int):
@@ -116,9 +127,11 @@ def _enc_plane(recon, coefp, orgp, pos, avail, modes, n, qp, c_idx,
 
 
 def _enc_plane_ys(recon, orgp, pos, avail, modes, n, qp, c_idx,
-                  bit_depth, strong):
+                  bit_depth, strong, rdoq_cfg=None):
     """Like _enc_plane but returns the level block instead of scattering it
-    into a dense coefficient plane (coef assembly happens once post-scan)."""
+    into a dense coefficient plane (coef assembly happens once post-scan).
+    rdoq_cfg: None for the plain dead-zone quantizer, or (init_type, lam)
+    to run RDOQ level decisions (ops/rdoq.py)."""
     log2 = n.bit_length() - 1
     chains = _gather_chains(recon, pos, n)
     chains = intra.substitute_refs(chains, avail, bit_depth)
@@ -132,7 +145,14 @@ def _enc_plane_ys(recon, orgp, pos, avail, modes, n, qp, c_idx,
     resi = org - pred
     use_dst = (n == 4 and c_idx == 0)
     coef = transform.fwd_transform(resi, bit_depth, use_dst)
-    lev = quant.quant(coef, qp, log2, bit_depth, True)
+    if rdoq_cfg is None:
+        lev = quant.quant(coef, qp, log2, bit_depth, True)
+    else:
+        init_type, lam = rdoq_cfg
+        scan_id = _mdcs_scan_id(best, n, c_idx)
+        lev = rdoq.rdoq_quant(coef, scan_id, qp=qp, log2_size=log2,
+                              bit_depth=bit_depth, c_idx=min(c_idx, 1),
+                              init_type=init_type, lam=lam)
     deq = quant.dequant(lev, qp, log2, bit_depth)
     rq = transform.inv_transform(deq, bit_depth, use_dst)
     rec = jnp.clip(pred + rq, 0, (1 << bit_depth) - 1)
@@ -143,9 +163,11 @@ def _enc_plane_ys(recon, orgp, pos, avail, modes, n, qp, c_idx,
 
 @functools.partial(jax.jit, static_argnames=("sizes", "qp", "qp_c",
                                              "bit_depth", "strong", "h",
-                                             "hc_off"))
+                                             "hc_off", "use_rdoq",
+                                             "init_type"))
 def scan_encode(org_y, org_c, xs, sizes: tuple, qp: int, qp_c: int,
-                bit_depth: int, strong: bool, h: int, hc_off: int):
+                bit_depth: int, strong: bool, h: int, hc_off: int,
+                use_rdoq: bool = False, init_type: int = 2):
     """Single-program multi-size intra encode, transfer-lean flavor.
 
     org_y: [h+pad, w]; org_c: [2*hc_off, w//2] with cb rows [0, h//2) and cr
@@ -162,6 +184,10 @@ def scan_encode(org_y, org_c, xs, sizes: tuple, qp: int, qp_c: int,
     ry = jnp.zeros_like(org_y)
     rc = jnp.zeros_like(org_c)
     hc = h // 2
+    from hevc_hop_tpu.models import partition as _part
+    rcfg_y = (init_type, _part.full_lambda(qp)) if use_rdoq else None
+    rcfg_c = (init_type, _part.full_lambda(qp)
+              * 2.0 ** ((qp_c - qp) / 3.0)) if use_rdoq else None
 
     def step(carry, x):
         ry, rc = carry
@@ -170,7 +196,7 @@ def scan_encode(org_y, org_c, xs, sizes: tuple, qp: int, qp_c: int,
             n = 1 << log2
             p, al, ac, m = x[log2]
             ry, lev_y, best, cbf = _enc_plane_ys(
-                ry, org_y, p, al, m, n, qp, 0, bit_depth, strong)
+                ry, org_y, p, al, m, n, qp, 0, bit_depth, strong, rcfg_y)
             pc = p // 2
             pc = pc.at[:, 1].set(jnp.where(p[:, 1] >= h, hc, pc[:, 1]))
             pcc = jnp.concatenate(
@@ -178,7 +204,8 @@ def scan_encode(org_y, org_c, xs, sizes: tuple, qp: int, qp_c: int,
             acc = jnp.concatenate([ac, ac], 0)
             mc = jnp.concatenate([best, best], 0)
             rc, lev_c, _, cbf_c = _enc_plane_ys(
-                rc, org_c, pcc, acc, mc, n // 2, qp_c, 1, bit_depth, strong)
+                rc, org_c, pcc, acc, mc, n // 2, qp_c, 1, bit_depth, strong,
+                rcfg_c)
             ys[log2] = (lev_y, lev_c, best, cbf, cbf_c)
         return (ry, rc), ys
 
@@ -203,7 +230,13 @@ def scan_encode(org_y, org_c, xs, sizes: tuple, qp: int, qp_c: int,
         coef_c = coef_c.at[rows, cols].set(
             lev_c.reshape(s * 2 * b, n // 2, n // 2))
         outs[log2] = (best, cbf, cbf_c)
-    return ry, rc, coef_y[:h], coef_c, outs
+    # int8 views halve the device->host coefficient traffic; the (rare)
+    # frames with |level| > 127 raise `wide` and the caller fetches int16
+    wide = (jnp.any(jnp.abs(coef_y.astype(jnp.int32)) > 127)
+            | jnp.any(jnp.abs(coef_c.astype(jnp.int32)) > 127))
+    coef8 = (jnp.clip(coef_y[:h], -128, 127).astype(jnp.int8),
+             jnp.clip(coef_c, -128, 127).astype(jnp.int8))
+    return ry, rc, coef_y[:h], coef_c, coef8, wide, outs
 
 
 @functools.partial(jax.jit, static_argnames=("sizes", "bit_depth", "strong",

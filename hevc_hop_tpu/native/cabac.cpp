@@ -20,6 +20,12 @@
 
 namespace {
 
+// Optional per-context bin statistics: when set (hevc_set_bin_counts), every
+// context-coded bin increments counts[(ctx << 1) | bin]. Used for encoder
+// telemetry and to calibrate the RDOQ static rate model (ops/rdoq.py)
+// against realized CABAC statistics.
+static uint64_t* g_bin_counts = nullptr;
+
 // ---------------------------------------------------------------------------
 // Arithmetic engine (H.265 9.3.4.3), byte-exact with the reference engine.
 // ---------------------------------------------------------------------------
@@ -68,6 +74,7 @@ struct CabacEnc {
   }
 
   inline void bin(uint8_t* ctx, int idx, int b) {
+    if (g_bin_counts) g_bin_counts[(idx << 1) | (b ? 1 : 0)]++;
     uint8_t s = ctx[idx];
     uint32_t lps = kLpsTable[s >> 1][(range >> 6) & 3];
     range -= lps;
@@ -1790,6 +1797,10 @@ static void fill_maps(FrameMaps& m, int pic_w, int pic_h, int ctb_log2,
 extern "C" {
 
 int hevc_num_ctx(void) { return NUM_CTX; }
+
+// Install (or clear, with p == NULL) a [NUM_CTX * 2] uint64 bin-statistics
+// buffer; counts accumulate across subsequent encode calls.
+void hevc_set_bin_counts(uint64_t* p) { g_bin_counts = p; }
 
 int64_t hevc_encode_slice_data(
     const uint8_t* ctx_states, int pic_w, int pic_h, int ctb_log2,

@@ -6,14 +6,18 @@ from 4 corner offset vectors (calcParamProjective:807 / calcParamBilinear:862)
 and inverse-maps every pixel of the central WxH block with bilinear
 interpolation (ProjectiveTransform:904), clamped to the NSS window.
 
-TPU-native formulation: corner-candidate sets are batched — params are
-computed in closed form for B candidates at once and a single gather+lerp
-evaluates all warped blocks. The affine restriction (IT_GT_AFFINE,
-TypeDef.h:212: h[2]=h[5]=0 so only 3 corner vectors are coded) is a mask.
-
-Arithmetic is float32 (the reference uses float64; the warp is
-encoder/decoder-symmetric within this codec — see SURVEY.md §7.3.2 on the
-reference's own cross-platform reproducibility caveat).
+TPU-native formulation: corner-candidate sets are batched — a single
+gather+weighted-sum evaluates all warped blocks at once. The affine
+restriction (IT_GT_AFFINE, TypeDef.h:212: only 3 corner vectors coded,
+BL derived) makes every map coordinate an EXACT RATIONAL with denominator
+D = 2*(grid-1), so the whole warp runs in int32 — deterministic and
+platform-independent, unlike the reference's float64 path. The reference's
+double arithmetic can only disagree with the exact rational result when a
+truncation/rounding input lands exactly on a boundary (integer Fx/Fy, or
+aux+0.5 exactly integral); `warp_blocks` returns a per-block safety mask
+flagging those knife-edge blocks and the encoder demotes them to
+translation, which guarantees the reference decoder reconstructs our GT
+streams bit-exactly (tests/test_conformance_hm.py).
 """
 from __future__ import annotations
 
@@ -28,13 +32,12 @@ GRID = 2  # IT_GT_GRID_SIZE (TypeDef.h:228): corner grid is 2x block size
 
 def calc_param_projective(cx: jnp.ndarray, cy: jnp.ndarray,
                           gw: int, gh: int) -> jnp.ndarray:
-    """Homography params from 4 corner points (batched).
+    """Homography params from 4 corner points (batched, float32).
 
-    cx, cy: [..., 4] corner coordinates on the (gw x gh) grid in the order
-    top-left, top-right, bottom-right, bottom-left (ref corner order
-    0,1,2,3 = TL, TR, BR, BL per xPredGTLuma corner setup).
-    Returns h [..., 9] float32 (layout as the reference: Fx uses h0,h3,h6;
-    Fy uses h1,h4,h7; denominator h2,h5,h8).
+    Retained for analysis/tests; the production warp path is the exact
+    integer formulation in warp_blocks. cx, cy: [..., 4] corner coords
+    (TL, TR, BR, BL; ref xPredGTLuma corner setup). Returns h [..., 9]
+    (Fx: h0,h3,h6; Fy: h1,h4,h7; denominator h2,h5,h8).
     """
     w = jnp.float32(gw - 1)
     h_ = jnp.float32(gh - 1)
@@ -78,75 +81,86 @@ def is_affine(h: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
     return (jnp.abs(h[..., 2]) <= eps) & (jnp.abs(h[..., 5]) <= eps)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "bit_depth"))
-def warp_blocks(windows: jnp.ndarray, h: jnp.ndarray, n: int,
-                bit_depth: int = 8) -> jnp.ndarray:
-    """Apply batched GT warps.
+def _trunc_div_tz(a: jnp.ndarray, d: int) -> jnp.ndarray:
+    """C-style integer division (truncate toward zero)."""
+    q = jnp.abs(a) // d
+    return jnp.where(a < 0, -q, q).astype(jnp.int32)
 
-    windows: [B, 2n+W2, 2n+W2]?? — reference window of (2n x GRID) grid plus
-    the NSS clamp margin. Layout: windows[b] covers grid coordinates
-    [-nss .. g + nss) in both axes where g = GRID*n and nss = n (the NSS
-    window = min(w,h)/2 * GRID = n*... ref: iNSSWindow = (n>>1)*GRID = n).
-    So windows must be [B, g + 2*nss, g + 2*nss] = [B, 4n, 4n]... see
-    make_window_slices. h: [B, 9]. Returns [B, n, n] int32 predictions.
+
+@functools.partial(jax.jit, static_argnames=("n", "bit_depth", "half"))
+def warp_blocks(windows: jnp.ndarray, corners: jnp.ndarray, n: int,
+                bit_depth: int = 8, half: bool = False):
+    """Apply batched GT warps, exact integer arithmetic.
+
+    windows: [B, 2n, 2n] int reference windows spanning grid coordinates
+    [-n/2, 3n/2) per axis (the SS-target block at the center; margin = n/2
+    = iNSSWindow/GRID). corners: [B, 4, 2] corner OFFSET vectors
+    (TL, TR, BR, BL) in full-pel units, or half-pel units when half=True
+    (the chroma path: coded luma corner vectors / 2).
+
+    Returns (pred [B, n, n] int32, safe [B] bool). `safe` is False when any
+    pixel's exact map coordinate or rounded output sits exactly on a
+    truncation boundary — the only inputs where the reference's float64
+    ProjectiveTransform may round the other way.
     """
     b = windows.shape[0]
     g = GRID * n
-    nss = n  # (min(w,h)>>1) * GRID with square blocks
-    off = g // 2 - (g // GRID) // 2  # = n/2 offset into the grid
-    xs = jnp.arange(off, off + n, dtype=jnp.float32)
-    ys = jnp.arange(off, off + n, dtype=jnp.float32)
-    xg, yg = jnp.meshgrid(xs, ys, indexing="xy")
-    xg = xg[None]  # [1, n, n] x coordinate
-    yg = yg[None]
+    w = g - 1
+    d = 2 * w                       # common denominator (half-pel units x w)
+    s = 1 if half else 2            # corner offsets -> half-pel units
+    base_x = jnp.asarray([0, w, w, 0], jnp.int32) * 2
+    base_y = jnp.asarray([0, 0, w, w], jnp.int32) * 2
+    cx = corners[..., 0].astype(jnp.int32) * s + base_x     # [B, 4] 2x units
+    cy = corners[..., 1].astype(jnp.int32) * s + base_y
+    off = g // 2 - n // 2           # window offset of the central block
 
-    h0 = h[:, 0, None, None]
-    h1 = h[:, 1, None, None]
-    h2 = h[:, 2, None, None]
-    h3 = h[:, 3, None, None]
-    h4 = h[:, 4, None, None]
-    h5 = h[:, 5, None, None]
-    h6 = h[:, 6, None, None]
-    h7 = h[:, 7, None, None]
-    h8 = h[:, 8, None, None]
-    den = h2 * xg + h5 * yg + h8
-    fx = (h0 * xg + h3 * yg + h6) / den
-    fy = (h1 * xg + h4 * yg + h7) / den
+    xs = jnp.arange(off, off + n, dtype=jnp.int32)
+    xg, yg = jnp.meshgrid(xs, xs, indexing="xy")
+    xg, yg = xg[None], yg[None]                              # [1, n, n]
 
-    # truncate toward zero (C cast). The reference computes in float64
-    # where Fx/Fy/p/q are rationals with spacing >= 1/(2n-1); our float32
-    # error (~1e-5) is snapped away so truncation boundaries match:
-    # bias |Fx| upward by eps before the toward-zero cast, and zero-snap
-    # fractional parts smaller than eps.
-    eps = jnp.float32(1e-3)
+    c = lambda a, i: a[:, i, None, None]
+    # Fx = ax/d, Fy = ay/d exactly (affine: h2 = h5 = 0)
+    ax = ((c(cx, 1) - c(cx, 0)) * xg + (c(cx, 3) - c(cx, 0)) * yg
+          + c(cx, 0) * w)
+    ay = ((c(cy, 1) - c(cy, 0)) * xg + (c(cy, 3) - c(cy, 0)) * yg
+          + c(cy, 0) * w)
+    xt = _trunc_div_tz(ax, d)       # (Int)Fx, toward zero
+    yt = _trunc_div_tz(ay, d)
+    pn = ax - xt * d                # fraction numerators in (-d, d)
+    qn = ay - yt * d
+    xi = xt - off
+    yi = yt - off
 
-    def trunc_tz(v):  # toward-zero truncation with magnitude bias
-        a = jnp.trunc(jnp.abs(v) + eps)
-        return (jnp.sign(v) * a).astype(jnp.int32)
+    nssg = n // 2                   # iNSSWindow / GRID
+    lim = nssg + n - 1
+    xu, yu = xi, yi                 # unclamped (for the safety analysis)
+    xi = jnp.clip(xi, -nssg, lim - 1)   # the ref's two-stage clamp: X and
+    yi = jnp.clip(yi, -nssg, lim - 1)   # X+1 both inside -> X <= lim-1
 
-    xi = trunc_tz(fx) - off
-    yi = trunc_tz(fy) - off
-    p = fx - off - xi.astype(jnp.float32)
-    q = fy - off - yi.astype(jnp.float32)
-    p = jnp.where(jnp.abs(p) < eps, 0.0, p)
-    q = jnp.where(jnp.abs(q) < eps, 0.0, q)
-    lim = nss // GRID + n - 1
-    xi = jnp.clip(xi, -(nss // GRID), lim - 1)
-    yi = jnp.clip(yi, -(nss // GRID), lim - 1)
-
-    # window sample (X, Y) lives at windows[:, Y + margin, X + margin]:
-    # the [B, 2n, 2n] window spans X in [-n/2, 3n/2) with the SS-target
-    # block at its center, so margin = n/2
-    margin = nss // GRID
+    margin = nssg
     bi = jnp.arange(b)[:, None, None]
-    a00 = windows[bi, yi + margin, xi + margin].astype(jnp.float32)
-    a01 = windows[bi, yi + margin, xi + 1 + margin].astype(jnp.float32)
-    a10 = windows[bi, yi + 1 + margin, xi + margin].astype(jnp.float32)
-    a11 = windows[bi, yi + 1 + margin, xi + 1 + margin].astype(jnp.float32)
-    aux = ((1.0 - q) * ((1.0 - p) * a00 + p * a01)
-           + q * ((1.0 - p) * a10 + p * a11))
-    aux = jnp.clip(aux, 0.0, float((1 << bit_depth) - 1))
-    # round half-up as the reference ((Pel)(aux + 0.5)), with a
-    # sub-spacing bias (true aux values are rationals with spacing
-    # >= 1/(2n-1)^2 ~ 2.5e-4; f32 error ~1e-5)
-    return jnp.trunc(aux + jnp.float32(0.5 + 1e-4)).astype(jnp.int32)
+    a00 = windows[bi, yi + margin, xi + margin]
+    a01 = windows[bi, yi + margin, xi + 1 + margin]
+    a10 = windows[bi, yi + 1 + margin, xi + margin]
+    a11 = windows[bi, yi + 1 + margin, xi + 1 + margin]
+    num = ((d - qn) * ((d - pn) * a00 + pn * a01)
+           + qn * ((d - pn) * a10 + pn * a11))
+    maxv = (1 << bit_depth) - 1
+    num = jnp.clip(num, 0, maxv * d * d)
+    pred = (2 * num + d * d) // (2 * d * d)     # (Pel)(aux + 0.5)
+
+    # Knife edges where the reference's float64 may land on the other side
+    # (its error ~1e-11 vs the exact-rational spacing >= 1/d^2 ~ 3e-4, so
+    # ONLY exact boundary hits are ambiguous):
+    #  - rounded output exactly between two integers (aux + 0.5 integral);
+    #  - Fx/Fy exactly integral where the ref's trunc-toward-zero could
+    #    yield the previous cell AND that changes the value class: negative
+    #    coordinates (toward-zero trunc flips to an extrapolation weight)
+    #    or a window-clamp boundary (different samples entirely). Interior
+    #    positive integer hits only shift p: 0 vs ~1 on the previous cell,
+    #    which converges to the same sample value.
+    kx = (pn == 0) & ((ax < 0) | (xu <= -nssg) | (xu >= lim))
+    ky = (qn == 0) & ((ay < 0) | (yu <= -nssg) | (yu >= lim))
+    knife = kx | ky | ((2 * num + d * d) % (2 * d * d) == 0)
+    safe = ~jnp.any(knife, axis=(1, 2))
+    return pred.astype(jnp.int32), safe

@@ -33,17 +33,40 @@ GOLDEN = os.path.join(os.path.dirname(__file__), os.pardir,
 
 
 # ---------------------------------------------------------------- content
+def _octave_field(rng, w, h, scale, amp):
+    """Band-limited random field: coarse gaussian grid, bilinear upsample."""
+    gw, gh = w // scale + 2, h // scale + 2
+    g = rng.normal(0, amp, (gh, gw))
+    ys = np.arange(h) / scale
+    xs = np.arange(w) / scale
+    y0 = ys.astype(np.int32)
+    x0 = xs.astype(np.int32)
+    fy = (ys - y0)[:, None]
+    fx = (xs - x0)[None, :]
+    a = g[y0][:, x0]
+    b = g[y0][:, x0 + 1]
+    c = g[y0 + 1][:, x0]
+    d = g[y0 + 1][:, x0 + 1]
+    return (a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx
+            + c * fy * (1 - fx) + d * fy * fx)
+
+
 def classb_frame(w=1920, h=1088, seed=3):
-    """Synthetic class-B-like natural frame (gradients + texture + noise)."""
+    """Synthetic class-B-like natural frame: multi-octave band-limited
+    texture + gradients + sensor noise. The octave spectrum keeps the HM
+    RD curve monotone across QP 22-37 (a pure-sine fixture collapses at
+    high QP, breaking the Bjontegaard cubic fit)."""
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:h, 0:w]
-    y = (90 + 60 * np.sin(xx / 41.0) * np.cos(yy / 29.0)
-         + 35 * np.sin((xx + 2 * yy) / 97.0)
-         + rng.normal(0, 6, (h, w)))
-    y = y.clip(0, 255).astype(np.int32)
-    cb = (118 + 30 * np.sin(xx[::2, ::2] / 53.0)).clip(0, 255).astype(np.int32)
-    cr = (132 + 25 * np.cos(yy[::2, ::2] / 47.0)).clip(0, 255).astype(np.int32)
-    return y, cb, cr
+    y = 110 + 40 * np.sin(xx / 97.0) * np.cos(yy / 83.0)
+    for scale, amp in ((64, 30), (24, 22), (8, 14), (3, 8)):
+        y = y + _octave_field(rng, w, h, scale, amp)
+    y = (y + rng.normal(0, 2.0, (h, w))).clip(0, 255).astype(np.int32)
+    cb = (118 + _octave_field(rng, w // 2, h // 2, 32, 18)
+          + _octave_field(rng, w // 2, h // 2, 8, 6)).clip(0, 255)
+    cr = (132 + _octave_field(rng, w // 2, h // 2, 24, 16)
+          + _octave_field(rng, w // 2, h // 2, 6, 5)).clip(0, 255)
+    return y, cb.astype(np.int32), cr.astype(np.int32)
 
 
 def lenslet_frame(w=512, h=384, mi=16, seed=5):
@@ -116,7 +139,7 @@ def write_yuv(path, planes):
             f.write(np.asarray(p, np.uint8).tobytes())
 
 
-def run_hm(frame, qp, cfg_name, workdir):
+def run_hm(frame, qp, cfg_name, workdir, extra=()):
     """One HM encode; returns (bytes, wpsnr, y_psnr)."""
     y, cb, cr = frame
     h, w = y.shape
@@ -127,7 +150,7 @@ def run_hm(frame, qp, cfg_name, workdir):
     cmd = [HM_ENC, "-c", f"/root/reference/cfg/{cfg_name}",
            "-i", src, "-b", bs, "-o", rec,
            "-wdt", str(w), "-hgt", str(h), "-f", "1", "-fr", "30",
-           "-q", str(qp)]
+           "-q", str(qp)] + list(extra)
     r = subprocess.run(cmd, capture_output=True, timeout=3600,
                        cwd=workdir)
     assert r.returncode == 0, r.stderr.decode()[-800:] + r.stdout.decode()[-800:]
@@ -194,7 +217,7 @@ def main():
         print("HM holoscopic intra (lenslet)...")
         results["hm_lenslet_iss"] = sweep(
             run_hm, ll_frame, "hm-iss", cfg_name="3DHencoder_intra_main.cfg",
-            workdir=td)
+            workdir=td, extra=("--MIsize=16",))
 
     print("ours intra (class-B)...")
     results["ours_classb_intra"] = sweep(run_ours_intra, cb_frame, "ours")
