@@ -1,12 +1,16 @@
 #!/usr/bin/env python
-"""Headline benchmark: class-B (1920x1088) all-intra encode frames/s/chip.
+"""Headline benchmark: class-B (1920x1088) all-intra encode frames/s/chip,
+on the production quadtree+SAO+RDOQ+SBH path (the same encoder the BD-rate
+claims use), plus lenslet-ISS encode fps and decode fps.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "lenslet_iss_fps": N, "lenslet_iss_vs_baseline": N,
+   "decode_fps": N, "decode_vs_baseline": N}
 
-vs_baseline is relative to the reference HM encoder (single-threaded C++)
-measured on this host — see tests/golden/measured_baseline.json and
-BASELINE.md. Set BENCH_SMALL=1 for a quick smoke run (720x512).
+vs_baseline values are relative to the reference HM binaries measured on
+this host (tests/golden/measured_baseline.json, BASELINE.md). Set
+BENCH_SMALL=1 for a quick smoke run (720x512, no extra metrics).
 """
 import json
 import os
@@ -29,21 +33,25 @@ def synth_class_b(w, h, seed=0):
     return y, cb, cr
 
 
+def best_of(fn, reps=3):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return best
+
+
 def main() -> None:
     from hevc_hop_tpu.models.encoder import EncoderConfig, IntraEncoder
 
     small = os.environ.get("BENCH_SMALL") == "1"
     w, h = (720, 512) if small else (1920, 1088)
     y, cb, cr = synth_class_b(w, h)
-    enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=32, cu_log2=4))
+    enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=32, sao=True))
     enc.encode_frame(y, cb, cr)  # warm-up/compile
-    reps = 3
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.time()
-        enc.encode_frame(y, cb, cr)
-        best = min(best, time.time() - t0)
-    fps = 1.0 / best
+    t_enc = best_of(lambda: enc.encode_frame(y, cb, cr))
+    fps = 1.0 / t_enc
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "tests", "golden", "measured_baseline.json")
@@ -53,12 +61,43 @@ def main() -> None:
     if small:
         hm_fps *= (1920 * 1088) / (w * h)  # HM is ~linear in pixels
 
-    print(json.dumps({
+    out = {
         "metric": "intra_encode_fps_classB",
         "value": round(fps, 4),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / hm_fps, 3),
-    }))
+    }
+
+    if not small:
+        # lenslet ISS (quadtree + SAO + GT, the flagship holoscopic path)
+        from tools.bdrate import lenslet_frame
+        from hevc_hop_tpu.models.ss_encoder import HoloConfig, HoloEncoder
+        ly, lcb, lcr = lenslet_frame()
+        lh, lw = ly.shape
+        henc = HoloEncoder(HoloConfig(width=lw, height=lh, qp=32,
+                                      mi_size=16, gt=True, search_range=32,
+                                      quadtree=True, sao=True))
+        henc.encode_frame(ly, lcb, lcr)
+        t_ll = best_of(lambda: henc.encode_frame(ly, lcb, lcr))
+        out["lenslet_iss_fps"] = round(1.0 / t_ll, 4)
+        out["lenslet_iss_vs_baseline"] = round(
+            (1.0 / t_ll) / base["hm_iss_lenslet_fps"], 3)
+
+        # decode fps on the class-B stream
+        from hevc_hop_tpu.models.decoder import Decoder
+        stream = enc.encode_frame(y, cb, cr)
+
+        def dec_once():
+            d = Decoder()
+            d.decode_stream(stream)
+
+        dec_once()
+        t_dec = best_of(dec_once)
+        out["decode_fps"] = round(1.0 / t_dec, 4)
+        out["decode_vs_baseline"] = round(
+            (1.0 / t_dec) / base["hm_intra_1080p_decode_fps"], 3)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

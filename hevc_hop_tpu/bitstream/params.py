@@ -127,10 +127,15 @@ def write_vps(vps: VPS) -> bytes:
     w.write_ue(0)          # vps_num_layer_sets_minus1
     w.write_flag(0)        # vps_timing_info_present
     # vps_extension_flag doubles as the holoscopic extension carrier in the
-    # reference (TEncCavlc.cpp:572-575: flag + microimage size ue(v))
+    # reference (TEncCavlc.cpp:572-576: flag, writeAlignOne (1-bits to byte
+    # boundary, mirrored by the parser's readOutTrailingBits at
+    # TDecCAVLC.cpp:740), microimage size ue(v), vps_extension2_flag)
     if vps.holo:
         w.write_flag(1)
+        while w.num_bits % 8 != 0:
+            w.write_flag(1)
         w.write_ue(vps.holo_mi_size)
+        w.write_flag(0)    # vps_extension2_flag
     else:
         w.write_flag(0)
     w.write_byte_alignment()
@@ -152,7 +157,9 @@ def parse_vps(data: bytes) -> VPS:
     r.read_flag()
     if r.read_flag():
         vps.holo = True
+        r.byte_align()     # readOutTrailingBits (TDecCAVLC.cpp:740)
         vps.holo_mi_size = r.read_ue()
+        r.read_flag()      # vps_extension2_flag
     return vps
 
 

@@ -75,6 +75,8 @@ def get_lib() -> ctypes.CDLL:
                                         ctypes.c_void_p, i32]
     lib.hevc_set_bin_counts.restype = None
     lib.hevc_set_bin_counts.argtypes = [ctypes.c_void_p]
+    lib.hevc_set_sbh.restype = None
+    lib.hevc_set_sbh.argtypes = [c]
     _lib = lib
     return lib
 
@@ -159,6 +161,7 @@ class SliceMaps:
         # SAO per-CTU params (resolved): type 0=off, 1=BO, 2+cls=EO
         ncty = (pic_h + (1 << ctb_log2) - 1) >> ctb_log2
         nctx = (pic_w + (1 << ctb_log2) - 1) >> ctb_log2
+        self.sbh = 0    # sign_data_hiding_enabled_flag (PPS)
         self.sao_on = 0
         self.sao_merge = np.zeros((ncty, nctx), np.uint8)
         self.sao_type = np.zeros((ncty, nctx, 3), np.uint8)
@@ -184,6 +187,7 @@ def encode_slice_data(ctx_states: np.ndarray, maps: SliceMaps) -> bytes:
     lib = get_lib()
     cap = maps.pic_w * maps.pic_h * 8 + 65536
     out = np.zeros(cap, np.uint8)
+    lib.hevc_set_sbh(int(maps.sbh))
     n = lib.hevc_encode_slice_data(
         np.ascontiguousarray(ctx_states, np.uint8),
         maps.pic_w, maps.pic_h, maps.ctb_log2, maps.max_hier_depth,
@@ -195,11 +199,14 @@ def encode_slice_data(ctx_states: np.ndarray, maps: SliceMaps) -> bytes:
 
 def decode_slice_data(ctx_states: np.ndarray, data: bytes,
                       pic_w: int, pic_h: int, ctb_log2: int = 5,
-                      max_hier_depth: int = 0, sao_on: int = 0) -> SliceMaps:
+                      max_hier_depth: int = 0, sao_on: int = 0,
+                      sbh: int = 0) -> SliceMaps:
     lib = get_lib()
     maps = SliceMaps(pic_w, pic_h, ctb_log2, max_hier_depth)
     maps.sao_on = sao_on
+    maps.sbh = sbh
     buf = np.frombuffer(data, np.uint8)
+    lib.hevc_set_sbh(int(maps.sbh))
     n = lib.hevc_decode_slice_data(
         np.ascontiguousarray(ctx_states, np.uint8), pic_w, pic_h, ctb_log2,
         max_hier_depth, buf, len(data), *maps._args(), *maps._sao_args())
@@ -213,6 +220,7 @@ def encode_slice_data_ss(ctx_states: np.ndarray, maps: SliceMaps) -> bytes:
     lib = get_lib()
     cap = maps.pic_w * maps.pic_h * 8 + 65536
     out = np.zeros(cap, np.uint8)
+    lib.hevc_set_sbh(int(maps.sbh))
     n = lib.hevc_encode_slice_data_ss(
         np.ascontiguousarray(ctx_states, np.uint8),
         maps.pic_w, maps.pic_h, maps.ctb_log2, maps.max_hier_depth,
@@ -227,14 +235,16 @@ def decode_slice_data_ss(ctx_states: np.ndarray, data: bytes,
                          pic_w: int, pic_h: int, ctb_log2: int,
                          max_hier_depth: int, slice_type: int,
                          mi_size: int, num_ref: int = 1,
-                         sao_on: int = 0) -> SliceMaps:
+                         sao_on: int = 0, sbh: int = 0) -> SliceMaps:
     lib = get_lib()
     maps = SliceMaps(pic_w, pic_h, ctb_log2, max_hier_depth)
     maps.slice_type = slice_type
     maps.mi_size = mi_size
     maps.num_ref = num_ref
     maps.sao_on = sao_on
+    maps.sbh = sbh
     buf = np.frombuffer(data, np.uint8)
+    lib.hevc_set_sbh(int(maps.sbh))
     n = lib.hevc_decode_slice_data_ss(
         np.ascontiguousarray(ctx_states, np.uint8), pic_w, pic_h, ctb_log2,
         max_hier_depth, slice_type, mi_size, buf, len(data),

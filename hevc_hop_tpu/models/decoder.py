@@ -104,18 +104,21 @@ class Decoder:
                 states, rbsp[sh.data_offset:], w, h, sps.ctb_log2,
                 sps.max_transform_hierarchy_depth_intra,
                 int(SliceType.PSS), self.vps.holo_mi_size, num_ref,
-                sao_on=int(sps.sao_enabled))
+                sao_on=int(sps.sao_enabled),
+                sbh=int(pps.sign_data_hiding))
         elif sh.slice_type == SliceType.ISS:
             maps = native.decode_slice_data_ss(
                 states, rbsp[sh.data_offset:], w, h, sps.ctb_log2,
                 sps.max_transform_hierarchy_depth_intra,
                 int(SliceType.ISS), self.vps.holo_mi_size,
-                sao_on=int(sps.sao_enabled))
+                sao_on=int(sps.sao_enabled),
+                sbh=int(pps.sign_data_hiding))
         else:
             maps = native.decode_slice_data(
                 states, rbsp[sh.data_offset:], w, h, sps.ctb_log2,
                 max_hier_depth=sps.max_transform_hierarchy_depth_intra,
-                sao_on=int(sps.sao_enabled))
+                sao_on=int(sps.sao_enabled),
+                sbh=int(pps.sign_data_hiding))
 
         # reconstruction structure = TRANSFORM blocks (prediction is per-TU)
         leaves = wavefront.tu_blocks_from_maps(maps.depth8, maps.tu4,

@@ -47,6 +47,8 @@ class EncoderConfig:
     hash_type: int = 2  # sei.HASH_CHECKSUM
     # RDOQ level decisions (TComTrQuant.cpp:1489 xRateDistOptQuant analog)
     rdoq: bool = True
+    # sign_data_hiding_enabled_flag (TComTrQuant.cpp:868 signBitHidingHDQ)
+    sbh: bool = True
 
 
 class IntraEncoder:
@@ -65,6 +67,7 @@ class IntraEncoder:
             sao_enabled=cfg.sao,
             strong_intra_smoothing=cfg.strong_intra_smoothing)
         self.pps = params.PPS(init_qp=26,
+                              sign_data_hiding=cfg.sbh,
                               deblocking_disabled=not cfg.deblocking)
 
     def headers(self) -> list:
@@ -167,6 +170,7 @@ class IntraEncoder:
         stats["decide_s"] = _time.perf_counter() - t0
 
         maps = native.SliceMaps(w, h, cfg.ctb_log2, max_hier_depth=0)
+        maps.sbh = int(cfg.sbh)
         maps.depth8[:] = depth8
         maps.tu4[:] = tu4
 
@@ -201,7 +205,8 @@ class IntraEncoder:
             jnp.asarray(org_y), jnp.asarray(org_c), xs, sizes=sizes, qp=qp,
             qp_c=qp_c, bit_depth=cfg.bit_depth,
             strong=cfg.strong_intra_smoothing, h=h, hc_off=hc_off,
-            use_rdoq=cfg.rdoq, init_type=int(SliceType.I))
+            use_rdoq=cfg.rdoq, init_type=int(SliceType.I),
+            sbh=cfg.sbh)
         ry.block_until_ready()
         stats["scan_s"] = _time.perf_counter() - t1
 

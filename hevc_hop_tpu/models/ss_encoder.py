@@ -28,6 +28,23 @@ from hevc_hop_tpu.models import partition, ss_scan
 from hevc_hop_tpu.ops import deblock
 
 
+def _mi_avail(pos: np.ndarray, valid: np.ndarray, n: int, mi: int,
+              ctb: int) -> np.ndarray:
+    """Static availability of the three MI merge/AMVP candidates per
+    scheduled block [S, B, 3] (getMILeftCand/Above/AboveLeft,
+    TComDataCU.cpp:2642-2712 + isMvInsidePic bound, :2627)."""
+    if mi <= 0:
+        return np.zeros(pos.shape[:2] + (3,), bool)
+    d = -(((n + mi - 1) // mi) * mi) * 4          # qpel MI displacement
+    x, y = pos[..., 0], pos[..., 1]
+    ok_h = d >= (-ctb - 8 - x + 1) * 4
+    ok_v = d >= (-ctb - 8 - y + 1) * 4
+    left = (x % ctb != 0) & ok_h
+    above = (y % ctb != 0) & ok_v
+    al = (x % ctb != 0) & ok_h & ok_v
+    return np.stack([left, above, al], -1) & valid[..., None]
+
+
 @dataclasses.dataclass
 class HoloConfig:
     width: int = 64
@@ -35,7 +52,11 @@ class HoloConfig:
     qp: int = 32
     bit_depth: int = 8
     ctb_log2: int = 5
-    cu_log2: int = 4            # uniform CU grid (quadtree for ISS: TODO)
+    cu_log2: int = 4            # uniform CU grid (when quadtree=False)
+    quadtree: bool = False      # per-frame CU quadtree 8/16/32 via the
+                                # batched RD pre-pass (ss_partition.decide,
+                                # TEncCu.cpp:371 xCompressCU analog);
+                                # needs CTB-aligned dimensions
     search_range: int = 32      # SS full-search radius (SearchRange cfg)
     search_range_t: int = 16    # temporal ME radius (PSS frames)
     mi_size: int = 0            # micro-image size (MIsize cfg; 0 = off)
@@ -45,6 +66,8 @@ class HoloConfig:
     sao: bool = False
     # RDOQ level decisions (TComTrQuant.cpp:1489 xRateDistOptQuant analog)
     rdoq: bool = True
+    # sign_data_hiding_enabled_flag (TComTrQuant.cpp:868 signBitHidingHDQ)
+    sbh: bool = True
     # decoded-picture-hash SEI type: checksum is a device-side reduction
     # (no recon transfer); MD5 forces a full-frame fetch
     hash_type: int = 2  # sei.HASH_CHECKSUM
@@ -68,6 +91,7 @@ class HoloEncoder:
             sao_enabled=cfg.sao,
             strong_intra_smoothing=cfg.strong_intra_smoothing)
         self.pps = params.PPS(init_qp=26,
+                              sign_data_hiding=cfg.sbh,
                               deblocking_disabled=not cfg.deblocking)
         self.vps = params.VPS(holo=True, holo_mi_size=cfg.mi_size)
 
@@ -88,43 +112,42 @@ class HoloEncoder:
             self.recon_history.append(self.recon_yuv)
         return b"".join(out)
 
-    def _prep(self, temporal: bool):
-        """Schedule + static search planes + scatter indices, computed once
-        per encoder (geometry and QP are fixed per instance; HM re-derives
-        per CTU, TEncSlice.cpp:1000). Cached on self."""
-        key = temporal
+    def _prep(self, leaves=None, key=None):
+        """Schedule + static search planes + scatter indices, cached per
+        partition (HM re-derives per CTU, TEncSlice.cpp:1000). leaves=None
+        -> the uniform cu_log2 grid; otherwise a decided quadtree, cached
+        under `key` (depth-map digest)."""
         cache = getattr(self, "_prep_cache", None)
-        if cache is not None and key in cache:
+        if cache is None:
+            cache = self._prep_cache = {}
+        if key in cache:
             return cache[key]
         cfg = self.cfg
         w, h = cfg.width, cfg.height
         n = 1 << cfg.cu_log2
-        qp = cfg.qp
         radius = cfg.search_range
-        leaves = [(x, yy, cfg.cu_log2)
-                  for cy in range(0, h, 1 << cfg.ctb_log2)
-                  for cx in range(0, w, 1 << cfg.ctb_log2)
-                  for yy in range(cy, min(cy + (1 << cfg.ctb_log2), h), n)
-                  for x in range(cx, min(cx + (1 << cfg.ctb_log2), w), n)]
+        if leaves is None:
+            leaves = [(x, yy, cfg.cu_log2)
+                      for cy in range(0, h, 1 << cfg.ctb_log2)
+                      for cx in range(0, w, 1 << cfg.ctb_log2)
+                      for yy in range(cy, min(cy + (1 << cfg.ctb_log2), h), n)
+                      for x in range(cx, min(cx + (1 << cfg.ctb_log2), w), n)]
         sizes, data, _ = ss_scan.build_schedule_ss(
             leaves, w, h, cfg.ctb_log2, radius)
-        lam = partition.full_lambda(qp)
         zplane4 = ss_scan.wavefront.zaddr4_plane(w, h, cfg.ctb_log2)
-        zmaxw, rate_maps, trate_maps, zmax2n, xs, scat = {}, {}, {}, {}, {}, {}
+        zmaxw, zmax2n, xs, scat = {}, {}, {}, {}
         for log2 in sizes:
             nn = 1 << log2
             d = data[log2]
             zmaxw[log2] = jnp.asarray(ss_scan.zmax_win_px(zplane4, nn))
-            rate_maps[log2] = jnp.asarray(
-                ss_scan.mvd_rate_map(radius, nn, cfg.mi_size, lam))
-            if temporal:
-                trate_maps[log2] = jnp.asarray(
-                    ss_scan.mvd_rate_map(cfg.search_range_t, nn, 0, lam))
             zmax2n[log2] = jnp.asarray(
                 ss_scan.zmax_win_px(zplane4, 2 * nn, ifm=2)) if cfg.gt \
                 else jnp.zeros((1, 1), jnp.int32)
+            miav = _mi_avail(d["pos"], d["valid"], nn, cfg.mi_size,
+                             1 << cfg.ctb_log2)
             xs[log2] = (jnp.asarray(d["pos"]), jnp.asarray(d["avail"]),
-                        jnp.asarray(d["availc"]), jnp.asarray(d["zcur"]))
+                        jnp.asarray(d["availc"]), jnp.asarray(d["zcur"]),
+                        jnp.asarray(d["nbav"]), jnp.asarray(miav))
             # vectorized scatter indices (valid leaves only)
             vm = d["valid"].ravel()
             px = d["pos"][..., 0].ravel()[vm]
@@ -136,11 +159,26 @@ class HoloEncoder:
             iy8 = py[:, None, None] // 8 + np.arange(u8)[None, :, None]
             ix8 = px[:, None, None] // 8 + np.arange(u8)[None, None, :]
             scat[log2] = (vm, px, py, iy4, ix4, iy8, ix8)
-        prep = (sizes, data, zmaxw, rate_maps, trate_maps, zmax2n, xs, scat)
-        if cache is None:
-            self._prep_cache = {}
-        self._prep_cache[key] = prep
+        prep = (sizes, data, zmaxw, zmax2n, xs, scat)
+        cache[key] = prep
         return prep
+
+    def _frame_prep(self, y: np.ndarray, ref_y=None):
+        """Per-frame partition choice: quadtree pre-pass when enabled."""
+        cfg = self.cfg
+        if not cfg.quadtree:
+            return self._prep()
+        from hevc_hop_tpu.models import ss_partition, wavefront
+        assert cfg.width % (1 << cfg.ctb_log2) == 0 \
+            and cfg.height % (1 << cfg.ctb_log2) == 0, \
+            "quadtree mode needs CTB-aligned dims"
+        depth8 = ss_partition.decide(
+            np.asarray(y), cfg.qp, cfg.ctb_log2, cfg.search_range,
+            cfg.mi_size, cfg.bit_depth, ref_y)
+        self._depth8 = depth8
+        leaves = wavefront.leaves_from_depth(
+            depth8, cfg.width, cfg.height, cfg.ctb_log2)
+        return self._prep(leaves, key=depth8.tobytes())
 
     def _upload(self, y, cb, cr):
         cfg = self.cfg
@@ -158,6 +196,10 @@ class HoloEncoder:
         """Dense syntax maps from per-step outputs: ONE vectorized scatter
         per (size, map) instead of per-leaf Python loops."""
         for log2 in sizes:
+            vm_, px_, py_, iy4_, ix4_, iy8_, ix8_ = scat[log2]
+            maps.depth8[iy8_, ix8_] = self.cfg.ctb_log2 - log2
+            maps.tu4[iy4_, ix4_] = log2
+        for log2 in sizes:
             if pss:
                 (inter, refsel, mv, imode, cbf, cbf_b, cbf_r,
                  gtflag, gtc) = outs[log2]
@@ -167,8 +209,8 @@ class HoloEncoder:
             vm, px, py, iy4, ix4, iy8, ix8 = scat[log2]
             e = lambda a: np.asarray(a).reshape(-1)[vm]
             iv = e(inter)
-            mvx = np.asarray(mv[..., 0]).reshape(-1)[vm] * 4
-            mvy = np.asarray(mv[..., 1]).reshape(-1)[vm] * 4
+            mvx = np.asarray(mv[..., 0]).reshape(-1)[vm]   # quarter-pel
+            mvy = np.asarray(mv[..., 1]).reshape(-1)[vm]
             col = lambda v: v[:, None, None]
             maps.pred4[iy4, ix4] = col(np.where(iv, 0, 1).astype(np.uint8))
             maps.mode4[iy4, ix4] = col(
@@ -193,21 +235,20 @@ class HoloEncoder:
         w, h = cfg.width, cfg.height
         qp, qp_c = cfg.qp, rom.chroma_qp_from_luma(cfg.qp)
         radius = cfg.search_range
-        sizes, data, zmaxw, rate_maps, _, zmax2n, xs, scat = \
-            self._prep(temporal=False)
+        sizes, data, zmaxw, zmax2n, xs, scat = self._frame_prep(y)
         org_y, org_cb, org_cr = self._upload(y, cb, cr)
 
         ry, rcb, rcr, coef_y, coef_cb, coef_cr, outs = ss_scan.scan_encode_iss(
-            org_y, org_cb, org_cr, xs, zmaxw, rate_maps, zmax2n,
+            org_y, org_cb, org_cr, xs, zmaxw, zmax2n,
             sizes=sizes, qp=qp, qp_c=qp_c, bit_depth=cfg.bit_depth,
             strong=cfg.strong_intra_smoothing, w=w, h=h, radius=radius,
-            gt=cfg.gt, use_rdoq=cfg.rdoq)
+            mi_size=cfg.mi_size, gt=cfg.gt, use_rdoq=cfg.rdoq,
+            sbh=cfg.sbh)
 
         maps = native.SliceMaps(w, h, cfg.ctb_log2, max_hier_depth=0)
         maps.slice_type = int(SliceType.ISS)
+        maps.sbh = int(cfg.sbh)
         maps.mi_size = cfg.mi_size
-        maps.depth8[:] = cfg.ctb_log2 - cfg.cu_log2
-        maps.tu4[:] = cfg.cu_log2
         maps.coef_y[:] = np.asarray(coef_y[:h], np.int16)
         maps.coef_cb[:] = np.asarray(coef_cb[:h // 2], np.int16)
         maps.coef_cr[:] = np.asarray(coef_cr[:h // 2], np.int16)
@@ -245,8 +286,8 @@ class HoloEncoder:
         w, h = cfg.width, cfg.height
         qp, qp_c = cfg.qp, rom.chroma_qp_from_luma(cfg.qp)
         radius = cfg.search_range
-        sizes, data, zmaxw, rate_maps, trate_maps, zmax2n, xs, scat = \
-            self._prep(temporal=True)
+        sizes, data, zmaxw, zmax2n, xs, scat = self._frame_prep(
+            y, ref_y=np.asarray(self.recon_yuv[0]))
         org_y, org_cb, org_cr = self._upload(y, cb, cr)
         ref_y, ref_cb, ref_cr = (jnp.asarray(p, jnp.int32)
                                  for p in self._recon_dev)
@@ -254,17 +295,17 @@ class HoloEncoder:
         ry, rcb, rcr, coef_y, coef_cb, coef_cr, outs = \
             ss_scan.scan_encode_pss(
                 org_y, org_cb, org_cr, ref_y, ref_cb, ref_cr,
-                xs, zmaxw, rate_maps, trate_maps, zmax2n, sizes=sizes,
+                xs, zmaxw, zmax2n, sizes=sizes,
                 qp=qp, qp_c=qp_c, bit_depth=cfg.bit_depth,
                 strong=cfg.strong_intra_smoothing, w=w, h=h, radius=radius,
-                radius_t=cfg.search_range_t, gt=cfg.gt, use_rdoq=cfg.rdoq)
+                radius_t=cfg.search_range_t, mi_size=cfg.mi_size,
+                gt=cfg.gt, use_rdoq=cfg.rdoq, sbh=cfg.sbh)
 
         maps = native.SliceMaps(w, h, cfg.ctb_log2, max_hier_depth=0)
         maps.slice_type = int(SliceType.PSS)
+        maps.sbh = int(cfg.sbh)
         maps.mi_size = cfg.mi_size
         maps.num_ref = 2   # [temporal, SS(last)]
-        maps.depth8[:] = cfg.ctb_log2 - cfg.cu_log2
-        maps.tu4[:] = cfg.cu_log2
         maps.coef_y[:] = np.asarray(coef_y[:h], np.int16)
         maps.coef_cb[:] = np.asarray(coef_cb[:h // 2], np.int16)
         maps.coef_cr[:] = np.asarray(coef_cr[:h // 2], np.int16)

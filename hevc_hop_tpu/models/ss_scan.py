@@ -66,28 +66,35 @@ def zmax_win_px(zaddr4: np.ndarray, n: int, ifm: int = IFM) -> np.ndarray:
         sliding_window_view(zr, k, axis=0).max(-1)).astype(np.int32)
 
 
-def mvd_rate_map(radius: int, n: int, mi_size: int, lam: float) -> np.ndarray:
-    """Static lambda-scaled rate proxy per displacement [D, D] (dy, dx).
+def _mvd_bits(v: jnp.ndarray) -> jnp.ndarray:
+    """Exact MVD bin count per component (quarter-pel units): the
+    abs_mvd_greater0/greater1 flags + EG1 remainder + sign of codeMvd
+    (TEncSbac.cpp:944), CABAC bins approximated at 1 bit each — the
+    FAST_BIT_EST-style estimate of TComRdCost::getBits."""
+    a = jnp.abs(v).astype(jnp.float32)
+    return jnp.where(a == 0, 1.0,
+                     jnp.where(a == 1, 3.0,
+                               5.0 + 2.0 * jnp.floor(
+                                   jnp.log2((a - 2.0) * 0.5 + 1.0))))
 
-    Rate = min over plausible predictors (MI-grid displacements,
-    TComDataCU.cpp:2642-2712 MI merge candidates; zero) of a golomb-ish MVD
-    cost — encoder-side heuristic only, never touches the bitstream.
-    """
-    d = np.arange(-radius, radius + 1, dtype=np.int64)
-    dx = d[None, :].repeat(d.size, 0)
-    dy = d[:, None].repeat(d.size, 1)
-    preds = [(0, 0)]
-    if mi_size > 0:
-        mic = -(-n // mi_size) * mi_size
-        preds += [(-mic, 0), (0, -mic), (-mic, -mic)]
 
-    def bits(v):
-        return 1.0 + 2.0 * np.ceil(np.log2(np.abs(v) + 1.0))
+def _min_rate_bits(mvq: jnp.ndarray, preds: jnp.ndarray) -> jnp.ndarray:
+    """Min MVD bits of mvq [B, K, 2] (qpel) over predictors [B, P, 2]."""
+    bits = (_mvd_bits(mvq[:, :, None, 0] - preds[:, None, :, 0])
+            + _mvd_bits(mvq[:, :, None, 1] - preds[:, None, :, 1]))
+    return jnp.min(bits, axis=2)
 
-    rm = np.full(dx.shape, np.inf)
-    for (px, py) in preds:
-        rm = np.minimum(rm, bits(dx - px) + bits(dy - py))
-    return np.asarray(lam * (rm + INTER_BITS), np.float32)
+
+def _dyn_rate_map(preds: jnp.ndarray, radius: int, lam: float) -> jnp.ndarray:
+    """Per-block lambda-scaled rate map [B, D, D] (dy, dx; full-pel grid)
+    from the dynamic predictor set [B, P, 2] (qpel; invalid predictors are
+    encoded as huge sentinels so they never win the min). Replaces HM's
+    per-candidate m_pcRdCost->getCost(x, y) inside xPatternSearch."""
+    d4 = (4 * jnp.arange(-radius, radius + 1)).astype(jnp.int32)
+    bx = _mvd_bits(d4[None, None, :] - preds[:, :, 0:1])   # [B, P, D]
+    by = _mvd_bits(d4[None, None, :] - preds[:, :, 1:2])
+    rm = jnp.min(by[:, :, :, None] + bx[:, :, None, :], axis=1)
+    return lam * (INTER_BITS + rm)
 
 
 def build_schedule_ss(blocks, w: int, h: int, ctb_log2: int, radius: int,
@@ -137,8 +144,17 @@ def build_schedule_ss(blocks, w: int, h: int, ctb_log2: int, radius: int,
         zcur = zplane[np.clip(pos[:, :, 1], 0, h - 1) >> 2,
                       np.clip(pos[:, :, 0], 0, w - 1) >> 2]
         zcur = np.where(valid, zcur, -1).astype(np.int32)
+        # static z-availability of the five spatial merge/AMVP neighbor
+        # positions A1, B1, B0, A0, B2 (TComDataCU::getInterMergeCandidates
+        # order); whether the neighbor is *inter* is resolved on device.
+        px_, py_ = pos[:, :, 0], pos[:, :, 1]
+        nbx = np.stack([px_ - 1, px_ + n - 1, px_ + n, px_ - 1, px_ - 1], -1)
+        nby = np.stack([py_ + n - 1, py_ - 1, py_ - 1, py_ + n, py_ - 1], -1)
+        inf = (nbx >= 0) & (nby >= 0) & (nbx < w) & (nby < h)
+        znb = zplane[np.clip(nby, 0, h - 1) >> 2, np.clip(nbx, 0, w - 1) >> 2]
+        nbav = inf & (znb < zcur[..., None]) & valid[..., None]
         data[log2] = dict(
-            pos=pos, valid=valid, zcur=zcur, src=src,
+            pos=pos, valid=valid, zcur=zcur, src=src, nbav=nbav,
             avail=avail.reshape(nsteps, bmax, 4 * n + 1),
             availc=availc.reshape(nsteps, bmax, 2 * n + 1))
         order_all[log2] = idx_orig
@@ -170,7 +186,8 @@ def _ss_search(recon, org, pos, zcur, zmaxw, rate_map, n, radius, w, h,
                zmax2n=None):
     """Masked full-search SSE cost map.
 
-    Returns (mv_px [B,2], cost [B], pred [B,n,n], rate [B],
+    rate_map: [B, D, D] per-block lambda-scaled rate (see _dyn_rate_map).
+    Returns (mv_px [B,2], cost [B], pred [B,n,n], sse [B],
     gt_anchor [B,2], gt_rate [B], gt_any [B]): the gt_* outputs are the
     best displacement whose whole 2n GT window is causal (the anchor set
     of xPatternSearchGT, TEncSearch.cpp:5093-5141) when zmax2n is given.
@@ -211,11 +228,14 @@ def _ss_search(recon, org, pos, zcur, zmaxw, rate_map, n, radius, w, h,
     sse = org2 + ref2 - 2.0 * corr  # f32: encoder decision only
 
     big = jnp.float32(3.0e38)
-    cost = jnp.where(mask, sse + rate_map[None], big)
+    cost = jnp.where(mask, sse + rate_map, big)
     flat = cost.reshape(b, -1)
     idx = jnp.argmin(flat, axis=1)
     best = jnp.take_along_axis(flat, idx[:, None], 1)[:, 0]
-    rate = rate_map.reshape(-1)[idx]
+    sse_best = jnp.take_along_axis(sse.reshape(b, -1), idx[:, None], 1)[:, 0]
+    # fully-masked block (no causal candidate at all): poison the SSE too
+    # so downstream refinement cannot resurrect the garbage argmin MV
+    sse_best = jnp.where(best < jnp.float32(1e37), sse_best, big)
     mvy = (idx // d).astype(jnp.int32) - radius
     mvx = (idx % d).astype(jnp.int32) - radius
     # prediction = full-pel slice out of the gathered window
@@ -228,7 +248,7 @@ def _ss_search(recon, org, pos, zcur, zmaxw, rate_map, n, radius, w, h,
 
     if zmax2n is None:
         zero2 = jnp.zeros((b, 2), jnp.int32)
-        return (mv, best, pred, rate, zero2,
+        return (mv, best, pred, sse_best, zero2,
                 jnp.zeros(b, jnp.float32), jnp.zeros(b, bool))
 
     # GT anchor: best displacement whose full 2n window (+2 px chroma
@@ -239,20 +259,22 @@ def _ss_search(recon, org, pos, zcur, zmaxw, rate_map, n, radius, w, h,
             & (wxx + 2 * n + 2 <= w) & (wyy + 2 * n + 2 <= h))
     zm2 = zmax2n[jnp.clip(wyy, 0, h - 2 * n), jnp.clip(wxx, 0, w - 2 * n)]
     mask2 = inb2 & (zm2 < zcur[:, None, None])
-    cost2 = jnp.where(mask2, sse + rate_map[None], big).reshape(b, -1)
+    cost2 = jnp.where(mask2, sse + rate_map, big).reshape(b, -1)
     idx2 = jnp.argmin(cost2, axis=1)
     gt_any = jnp.any(mask2, axis=(1, 2))
-    gt_rate = rate_map.reshape(-1)[idx2]
+    gt_rate = jnp.take_along_axis(rate_map.reshape(b, -1),
+                                  idx2[:, None], 1)[:, 0]
     amvy = (idx2 // d).astype(jnp.int32) - radius
     amvx = (idx2 % d).astype(jnp.int32) - radius
     anchor = jnp.stack([amvx, amvy], -1)
-    return mv, best, pred, rate, anchor, gt_rate, gt_any
+    return mv, best, pred, sse_best, anchor, gt_rate, gt_any
 
 
 def _t_search(refp, org, pos, rate_map, n, radius, w, h):
     """Temporal full-search on a (static) reference plane — the plain
     xPatternSearch (TEncSearch.cpp:6262) without causality masking.
-    Returns (mv_px [B,2], cost [B], pred [B,n,n], rate [B])."""
+    rate_map: [B, D, D]. Returns (mv_px [B,2], cost [B], pred [B,n,n],
+    sse [B])."""
     b = pos.shape[0]
     d = 2 * radius + 1
     dr = jnp.arange(-radius, radius + 1)
@@ -283,10 +305,11 @@ def _t_search(refp, org, pos, rate_map, n, radius, w, h):
     sse = org2 + ref2 - 2.0 * corr
 
     big = jnp.float32(3.0e38)
-    cost = jnp.where(mask, sse + rate_map[None], big).reshape(b, -1)
+    cost = jnp.where(mask, sse + rate_map, big).reshape(b, -1)
     idx = jnp.argmin(cost, axis=1)
     best = jnp.take_along_axis(cost, idx[:, None], 1)[:, 0]
-    rate = rate_map.reshape(-1)[idx]
+    sse_best = jnp.take_along_axis(sse.reshape(b, -1), idx[:, None], 1)[:, 0]
+    sse_best = jnp.where(best < jnp.float32(1e37), sse_best, big)
     mvy = (idx // d).astype(jnp.int32) - radius
     mvx = (idx % d).astype(jnp.int32) - radius
     ar = jnp.arange(n)
@@ -294,7 +317,141 @@ def _t_search(refp, org, pos, rate_map, n, radius, w, h):
     prx = (mvx + radius)[:, None, None] + ar[None, None, :]
     bi = jnp.arange(b)[:, None, None]
     pred = win[bi, pry, prx]
-    return jnp.stack([mvx, mvy], -1), best, pred, rate
+    return jnp.stack([mvx, mvy], -1), best, pred, sse_best
+
+
+# ---------------------------------------------------------------------------
+# Merge arms, dynamic-rate predictors, fractional-pel refinement
+# ---------------------------------------------------------------------------
+
+_HUGE_PRED = 1 << 19   # sentinel predictor coordinate: never wins a min
+
+
+def _gather_cands(mvx4, mvy4, pi4, rf4, pos, nbav, miav, n: int,
+                  mi_size: int, ss_idx: int):
+    """Gather merge/AMVP raw material from the carried motion planes.
+
+    Candidate order: five spatial neighbors A1, B1, B0, A0, B2
+    (TComDataCU::getInterMergeCandidates, TComDataCU.cpp:2761), three MI
+    candidates (getMILeftCand/Above/AboveLeft, :2642-2712), zero. Returns
+    (cands [B,9,2] qpel, cref [B,9], cvalid [B,9], preds_ss [B,6,2],
+    preds_t [B,3,2]); preds_* feed the dynamic MVD-rate model (fillMvpCand
+    analog), invalid slots pushed to a huge sentinel."""
+    b = pos.shape[0]
+    px, py = pos[:, 0], pos[:, 1]
+    nx = jnp.stack([px - 1, px + n - 1, px + n, px - 1, px - 1], 1)
+    ny = jnp.stack([py + n - 1, py - 1, py - 1, py + n, py - 1], 1)
+    hp, wp = pi4.shape
+    gy = jnp.clip(ny, 0, hp * 4 - 1) // 4
+    gx = jnp.clip(nx, 0, wp * 4 - 1) // 4
+    sp_mv = jnp.stack([mvx4[gy, gx], mvy4[gy, gx]], -1)
+    sp_ref = rf4[gy, gx]
+    sp_ok = nbav & (pi4[gy, gx] == 1)
+
+    dmi = -(((n + mi_size - 1) // mi_size) * mi_size) * 4 if mi_size else 0
+    mi_mv = jnp.broadcast_to(
+        jnp.asarray([[dmi, 0], [0, dmi], [dmi, dmi]], jnp.int32)[None],
+        (b, 3, 2))
+    mi_ok = miav if mi_size > 0 else jnp.zeros((b, 3), bool)
+    mi_ref = jnp.full((b, 3), ss_idx, jnp.int32)
+    zero_mv = jnp.zeros((b, 1, 2), jnp.int32)
+    cands = jnp.concatenate([sp_mv, mi_mv, zero_mv], 1)
+    cref = jnp.concatenate(
+        [sp_ref.astype(jnp.int32), mi_ref, jnp.zeros((b, 1), jnp.int32)], 1)
+    cvalid = jnp.concatenate([sp_ok, mi_ok, jnp.ones((b, 1), bool)], 1)
+
+    a1b1 = sp_mv[:, :2]
+    big = jnp.int32(_HUGE_PRED)
+    a1b1_ss = sp_ok[:, :2] & (sp_ref[:, :2] == ss_idx)
+    a1b1_t = sp_ok[:, :2] & (sp_ref[:, :2] != ss_idx)
+    p_ss = jnp.concatenate([
+        jnp.where(a1b1_ss[..., None], a1b1, big),
+        jnp.where(mi_ok[..., None], mi_mv, big), zero_mv], 1)
+    p_t = jnp.concatenate([
+        jnp.where(a1b1_t[..., None], a1b1, big), zero_mv], 1)
+    return cands, cref, cvalid, p_ss, p_t
+
+
+def _merge_arms(carry_y, ref_y, of, pos, zcur, zmaxw, cands, cref, cvalid,
+                ss_idx: int, n: int, w: int, h: int, bit_depth: int,
+                lam: float):
+    """Prediction-domain RD of coding each merge candidate
+    (xCheckRDCostMerge2Nx2N with the SS causal-validity veto,
+    TEncCu.cpp:1243,1301-1330): exact qpel MC + merge-idx rate.
+    Returns (cost [B], mv [B,2] qpel, ref [B], pred [B,n,n])."""
+    b, k = cands.shape[:2]
+    posr = jnp.repeat(pos, k, axis=0)
+    mvf = cands.reshape(-1, 2)
+    p_ss = interp.luma_mc(carry_y, posr, mvf, n, h,
+                          bit_depth).reshape(b, k, n, n)
+    is_ss = cref == ss_idx
+    if ref_y is not None:
+        p_t = interp.luma_mc(ref_y, posr, mvf, n, h,
+                             bit_depth).reshape(b, k, n, n)
+        pred = jnp.where(is_ss[..., None, None], p_ss, p_t)
+    else:
+        pred = p_ss
+    mvi = cands >> 2
+    tx = pos[:, None, 0] + mvi[..., 0]
+    ty = pos[:, None, 1] + mvi[..., 1]
+    inb = (tx >= 0) & (ty >= 0) & (tx + n <= w) & (ty + n <= h)
+    zm = zmaxw[jnp.clip(ty, 0, h - n), jnp.clip(tx, 0, w - n)]
+    causal = inb & (zm < zcur[:, None])
+    ok = cvalid & jnp.where(is_ss, causal, True)
+    sse = jnp.sum((of[:, None] - pred.astype(jnp.float32)) ** 2, (2, 3))
+    idx_bits = jnp.minimum(jnp.arange(k) + 1, 4).astype(jnp.float32)
+    cost = jnp.where(ok, sse + lam * (4.0 + idx_bits[None]),
+                     jnp.float32(3e38))
+    best = jnp.argmin(cost, 1)
+    bc = jnp.take_along_axis(cost, best[:, None], 1)[:, 0]
+    mv = jnp.take_along_axis(cands, best[:, None, None], 1)[:, 0]
+    ref = jnp.take_along_axis(cref, best[:, None], 1)[:, 0]
+    prd = jnp.take_along_axis(pred, best[:, None, None, None], 1)[:, 0]
+    return bc, mv, ref, prd
+
+
+_FRAC_OFFS = np.array([(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                       if (dx, dy) != (0, 0)], np.int32)
+
+
+def _frac_refine(plane, of, pos, mvq0, pred0, sse0, preds, n: int, h: int,
+                 bit_depth: int, lam: float):
+    """Half- then quarter-pel refinement around the integer-pel best
+    (xPatternSearchFracDIF, TEncSearch.cpp:6564), batched: each stage
+    evaluates the 8 surrounding positions through the exact qpel MC path
+    and keeps the RD best (SSE + dynamic MVD rate). The +-0.75 px reach
+    stays inside the IFM causality ring validated by the integer search.
+    Returns (mvq [B,2], pred [B,n,n], sse [B], cost [B])."""
+    b = pos.shape[0]
+    offs = jnp.asarray(_FRAC_OFFS)
+    k = offs.shape[0]
+    rate0 = _min_rate_bits(mvq0[:, None], preds)[:, 0]
+    best_cost = sse0 + lam * (INTER_BITS + rate0)
+    best_mv, best_pred, best_sse = mvq0, pred0, sse0
+    posr = jnp.repeat(pos, k, axis=0)
+    for step in (2, 1):
+        cands = best_mv[:, None] + offs[None] * step
+        pk = interp.luma_mc(plane, posr, cands.reshape(-1, 2), n, h,
+                            bit_depth).reshape(b, k, n, n)
+        sse = jnp.sum((of[:, None] - pk.astype(jnp.float32)) ** 2, (2, 3))
+        cost = sse + lam * (INTER_BITS + _min_rate_bits(cands, preds))
+        # an invalid base (fully-masked integer search) stays invalid
+        cost = jnp.where(sse0[:, None] < jnp.float32(1e37), cost,
+                         jnp.float32(3e38))
+        ci = jnp.argmin(cost, 1)
+        c_new = jnp.take_along_axis(cost, ci[:, None], 1)[:, 0]
+        upd = c_new < best_cost
+        best_mv = jnp.where(
+            upd[:, None],
+            jnp.take_along_axis(cands, ci[:, None, None], 1)[:, 0], best_mv)
+        best_pred = jnp.where(
+            upd[:, None, None],
+            jnp.take_along_axis(pk, ci[:, None, None, None], 1)[:, 0],
+            best_pred)
+        best_sse = jnp.where(
+            upd, jnp.take_along_axis(sse, ci[:, None], 1)[:, 0], best_sse)
+        best_cost = jnp.minimum(best_cost, c_new)
+    return best_mv, best_pred, best_sse, best_cost
 
 
 # ---------------------------------------------------------------------------
@@ -445,25 +602,29 @@ def _gt_search(recon, org, pos, mv, n, lam, h, bit_depth, iters: int = 6):
 
 
 def _tqr(org, pred, n, qp, bit_depth, rdoq_cfg=None, scan_id=None,
-         c_idx=0):
+         c_idx=0, sbh=False):
     """Transform/quant/dequant/inv-transform/recon for one batch.
 
     rdoq_cfg: None for the plain dead-zone quantizer, or (init_type, lam)
     for RDOQ level decisions (ops/rdoq.py); scan_id [B] selects the MDCS
-    scan (intra 4x4/8x8 only; inter blocks pass diag)."""
+    scan (intra 4x4/8x8 only; inter blocks pass diag); sbh applies the
+    sign-bit-hiding parity fix (quant.sbh_adjust) before recon so the
+    reconstruction uses the exact levels the serializer will code."""
     log2 = n.bit_length() - 1
     resi = org - pred
     use_dst = False  # DST only for 4x4 intra luma; ISS CUs are >= 8
     coef = transform.fwd_transform(resi, bit_depth, use_dst)
+    if scan_id is None:
+        scan_id = jnp.zeros(org.shape[:1], jnp.int32)
     if rdoq_cfg is None:
         lev = quant.quant(coef, qp, log2, bit_depth, True)
     else:
         init_type, lam = rdoq_cfg
-        if scan_id is None:
-            scan_id = jnp.zeros(org.shape[:1], jnp.int32)
         lev = rdoq.rdoq_quant(coef, scan_id, qp=qp, log2_size=log2,
                               bit_depth=bit_depth, c_idx=c_idx,
                               init_type=init_type, lam=lam)
+    if sbh:
+        lev = quant.sbh_adjust(lev, scan_id, c_idx, coef, qp, bit_depth)
     deq = quant.dequant(lev, qp, log2, bit_depth)
     rq = transform.inv_transform(deq, bit_depth, use_dst)
     rec = jnp.clip(pred + rq, 0, (1 << bit_depth) - 1)
@@ -472,18 +633,22 @@ def _tqr(org, pred, n, qp, bit_depth, rdoq_cfg=None, scan_id=None,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "sizes", "qp", "qp_c", "bit_depth", "strong", "w", "h", "radius", "gt",
-    "use_rdoq"))
-def scan_encode_iss(org_y, org_cb, org_cr, xs, zmaxw, rate_maps, zmax2n,
+    "sizes", "qp", "qp_c", "bit_depth", "strong", "w", "h", "radius",
+    "mi_size", "gt", "use_rdoq", "sbh"))
+def scan_encode_iss(org_y, org_cb, org_cr, xs, zmaxw, zmax2n,
                     sizes: tuple, qp: int, qp_c: int, bit_depth: int,
                     strong: bool, w: int, h: int, radius: int,
-                    gt: bool = False, use_rdoq: bool = False):
+                    mi_size: int = 0, gt: bool = False,
+                    use_rdoq: bool = False, sbh: bool = False):
     """ISS whole-frame encode as one scan.
 
-    xs: {log2: (pos [S,B,2], avail, availc, zcur [S,B])}
-    zmaxw/zmax2n: {log2: static causality planes}; rate_maps: {log2: [D,D]}.
-    Returns recon + coef planes and per-step outputs outs[log2] =
-    (inter, mv_px, intra_mode, cbf y/cb/cr, gtflag, gtc [S,B,3,2]).
+    xs: {log2: (pos [S,B,2], avail, availc, zcur [S,B], nbav [S,B,5],
+    miav [S,B,3])}; zmaxw/zmax2n: {log2: static causality planes}.
+    The tournament per block: 35-mode intra, AMVP SS (integer full search
+    + half/quarter-pel DIF refinement), merge candidates (exact qpel MC,
+    causal veto), GT warp. MVD/merge rates are dynamic, predictor-relative
+    (carried motion planes). Returns recon + coef planes and outs[log2] =
+    (inter, mv_qpel, intra_mode, cbf y/cb/cr, gtflag, gtc [S,B,3,2]).
     """
     ry = jnp.zeros_like(org_y)
     rcb = jnp.zeros_like(org_cb)
@@ -491,20 +656,25 @@ def scan_encode_iss(org_y, org_cb, org_cr, xs, zmaxw, rate_maps, zmax2n,
     cy_ = jnp.zeros_like(org_y)
     ccb = jnp.zeros_like(org_cb)
     ccr = jnp.zeros_like(org_cr)
+    mvx4 = jnp.zeros((org_y.shape[0] // 4, w // 4), jnp.int32)
+    mvy4 = jnp.zeros_like(mvx4)
+    pi4 = jnp.zeros_like(mvx4)
+    rf4 = jnp.zeros_like(mvx4)
     lam = partition.full_lambda(qp)
     lam_i = lam * INTRA_BITS
     rcfg_y = (3, lam) if use_rdoq else None           # init_type ISS
     rcfg_c = (3, lam * 2.0 ** ((qp_c - qp) / 3.0)) if use_rdoq else None
 
     def step(carry, x):
-        ry, rcb, rcr, cy_, ccb, ccr = carry
+        ry, rcb, rcr, cy_, ccb, ccr, mvx4, mvy4, pi4, rf4 = carry
         outs = {}
         for log2 in sizes:
             n = 1 << log2
             m = n // 2
-            pos, avail, availc, zcur = x[log2]
+            pos, avail, availc, zcur, nbav, miav = x[log2]
             rows, cols = _block_idx(pos, n)
             org = org_y[rows, cols]
+            of = org.astype(jnp.float32)
 
             # intra candidate
             chains = intra.substitute_refs(_gather_chains(ry, pos, n),
@@ -517,10 +687,23 @@ def scan_encode_iss(org_y, org_cb, org_cr, xs, zmaxw, rate_maps, zmax2n,
             icost = jnp.sum((org - ipred).astype(jnp.float32) ** 2,
                             axis=(1, 2)) + lam_i
 
+            # merge/AMVP raw material from the carried motion field
+            cands, cref, cvalid, p_ss, _ = _gather_cands(
+                mvx4, mvy4, pi4, rf4, pos, nbav, miav, n, mi_size, 0)
+            rate_map = _dyn_rate_map(p_ss, radius, lam)
+
             # SS candidate (+ GT anchor: best MV with a fully-causal window)
-            mv, sscost, sspred, ssrate, anchor, gtrate, gtok = _ss_search(
-                ry, org, pos, zcur, zmaxw[log2], rate_maps[log2],
+            mv_i, _, sspred0, sssse0, anchor, gtrate, gtok = _ss_search(
+                ry, org, pos, zcur, zmaxw[log2], rate_map,
                 n, radius, w, h, zmax2n[log2] if gt else None)
+            mvq, sspred, _, sscost = _frac_refine(
+                ry, of, pos, mv_i * 4, sspred0, sssse0, p_ss, n, h,
+                bit_depth, lam)
+
+            # merge arms (exact qpel MC at neighbor/MI/zero MVs)
+            mcost, mmv, _, mpred = _merge_arms(
+                ry, None, of, pos, zcur, zmaxw[log2], cands, cref, cvalid,
+                0, n, w, h, bit_depth, lam)
 
             # GT refinement around the anchor
             if gt:
@@ -536,22 +719,36 @@ def scan_encode_iss(org_y, org_cb, org_cr, xs, zmaxw, rate_maps, zmax2n,
                          & gt_chroma_safe(rcr, cpos_g, anchor, gtc, n // 2,
                                           h // 2, bit_depth))
                 gtflag = (gtok & nonzero & csafe & (gcost < sscost)
-                          & (gcost < icost))
+                          & (gcost < icost) & (gcost < mcost))
             else:
                 gtc = jnp.zeros(pos.shape[:1] + (3, 2), jnp.int32)
                 gpred = sspred
                 gtflag = jnp.zeros(pos.shape[:1], bool)
 
-            inter = gtflag | (sscost < icost)
-            mv = jnp.where(gtflag[:, None], anchor, mv)
-            pred = jnp.where(gtflag[:, None, None], gpred,
-                             jnp.where(inter[:, None, None], sspred, ipred))
+            merge_win = (~gtflag) & (mcost < sscost) & (mcost < icost)
+            inter = gtflag | merge_win | (sscost < icost)
+            mv = jnp.where(gtflag[:, None], anchor * 4,
+                           jnp.where(merge_win[:, None], mmv, mvq))
+            pred = jnp.where(
+                gtflag[:, None, None], gpred,
+                jnp.where(merge_win[:, None, None], mpred,
+                          jnp.where(inter[:, None, None], sspred, ipred)))
             lev, rec, cbf = _tqr(org, pred, n, qp, bit_depth, rcfg_y,
-                                 _mdcs_intra(inter, imode, n), 0)
+                                 _mdcs_intra(inter, imode, n), 0, sbh)
             ry = ry.at[rows, cols].set(rec)
             cy_ = cy_.at[rows, cols].set(lev)
 
-            # chroma: DM intra vs SS MC vs GT warp, same decision as luma
+            # carried motion planes (4x4 granularity) for later blocks'
+            # merge/AMVP derivation
+            r4, c4 = _block_idx(pos // 4, n // 4)
+            u = (n // 4, n // 4)
+            bcast = lambda v: jnp.broadcast_to(v[:, None, None],
+                                               (v.shape[0],) + u)
+            mvx4 = mvx4.at[r4, c4].set(bcast(jnp.where(inter, mv[:, 0], 0)))
+            mvy4 = mvy4.at[r4, c4].set(bcast(jnp.where(inter, mv[:, 1], 0)))
+            pi4 = pi4.at[r4, c4].set(bcast(inter.astype(jnp.int32)))
+
+            # chroma: DM intra vs qpel MC vs GT warp, same decision as luma
             cpos = pos // 2
             cpos = cpos.at[:, 1].set(
                 jnp.where(pos[:, 1] >= h, h // 2, cpos[:, 1]))
@@ -564,15 +761,16 @@ def scan_encode_iss(org_y, org_cb, org_cr, xs, zmaxw, rate_maps, zmax2n,
                 cpreds = intra.predict_all_modes(ch, m, 1, bit_depth, strong)
                 cip = jnp.take_along_axis(
                     cpreds, imode[:, None, None, None], axis=1)[:, 0]
-                cmc = interp.chroma_mc(rc, cpos, mv, m, h // 2, bit_depth)
+                cmc = interp.chroma_mc_q(rc, cpos, mv, m, h // 2, bit_depth)
                 cpred = jnp.where(inter[:, None, None], cmc, cip)
                 if gt:
-                    cgt = gt_pred_chroma(rc, cpos, mv, gtc, m, h // 2,
+                    cgt = gt_pred_chroma(rc, cpos, mv >> 2, gtc, m, h // 2,
                                          bit_depth)
                     cpred = jnp.where(gtflag[:, None, None], cgt, cpred)
                 clev, crec, ccbf = _tqr(orgc, cpred, m, qp_c, bit_depth,
                                         rcfg_c,
-                                        _mdcs_intra(inter, imode, m, 1), 1)
+                                        _mdcs_intra(inter, imode, m, 1), 1,
+                                        sbh)
                 rc = rc.at[crows, ccols].set(crec)
                 cc = cc.at[crows, ccols].set(clev)
                 return rc, cc, ccbf
@@ -580,27 +778,30 @@ def scan_encode_iss(org_y, org_cb, org_cr, xs, zmaxw, rate_maps, zmax2n,
             rcb, ccb, cbf_b = chroma_plane(rcb, ccb, org_cb)
             rcr, ccr, cbf_r = chroma_plane(rcr, ccr, org_cr)
             outs[log2] = (inter, mv, imode, cbf, cbf_b, cbf_r, gtflag, gtc)
-        return (ry, rcb, rcr, cy_, ccb, ccr), outs
+        return (ry, rcb, rcr, cy_, ccb, ccr, mvx4, mvy4, pi4, rf4), outs
 
-    carry, outs = jax.lax.scan(step, (ry, rcb, rcr, cy_, ccb, ccr), xs)
-    ry, rcb, rcr, cy_, ccb, ccr = carry
+    carry, outs = jax.lax.scan(
+        step, (ry, rcb, rcr, cy_, ccb, ccr, mvx4, mvy4, pi4, rf4), xs)
+    ry, rcb, rcr, cy_, ccb, ccr = carry[:6]
     return ry, rcb, rcr, cy_, ccb, ccr, outs
 
 
 @functools.partial(jax.jit, static_argnames=(
     "sizes", "qp", "qp_c", "bit_depth", "strong", "w", "h", "radius",
-    "radius_t", "gt", "use_rdoq"))
+    "radius_t", "mi_size", "gt", "use_rdoq", "sbh"))
 def scan_encode_pss(org_y, org_cb, org_cr, ref_y, ref_cb, ref_cr,
-                    xs, zmaxw, rate_maps, trate_maps, zmax2n,
+                    xs, zmaxw, zmax2n,
                     sizes: tuple, qp: int, qp_c: int, bit_depth: int,
                     strong: bool, w: int, h: int, radius: int,
-                    radius_t: int, gt: bool = False, use_rdoq: bool = False):
-    """PSS whole-frame encode: intra / temporal MC / SS / GT tournament.
+                    radius_t: int, mi_size: int = 0, gt: bool = False,
+                    use_rdoq: bool = False, sbh: bool = False):
+    """PSS whole-frame encode: intra / temporal / SS / merge / GT
+    tournament, qpel throughout.
 
     ref_*: previous picture's filtered recon (the temporal L0[0]); the SS
     reference is the recon carry, coded as the LAST L0 entry
     (TComSlice.cpp:497-506). Outputs outs[log2] = (inter, refsel [S,B]
-    (0=temporal, 1=SS), mv_px, intra_mode, cbf y/cb/cr, gtflag, gtc).
+    (0=temporal, 1=SS), mv_qpel, intra_mode, cbf y/cb/cr, gtflag, gtc).
     """
     ry = jnp.zeros_like(org_y)
     rcb = jnp.zeros_like(org_cb)
@@ -608,20 +809,26 @@ def scan_encode_pss(org_y, org_cb, org_cr, ref_y, ref_cb, ref_cr,
     cy_ = jnp.zeros_like(org_y)
     ccb = jnp.zeros_like(org_cb)
     ccr = jnp.zeros_like(org_cr)
+    mvx4 = jnp.zeros((org_y.shape[0] // 4, w // 4), jnp.int32)
+    mvy4 = jnp.zeros_like(mvx4)
+    pi4 = jnp.zeros_like(mvx4)
+    rf4 = jnp.zeros_like(mvx4)
     lam = partition.full_lambda(qp)
     lam_i = lam * INTRA_BITS
     rcfg_y = (4, lam) if use_rdoq else None           # init_type PSS
     rcfg_c = (4, lam * 2.0 ** ((qp_c - qp) / 3.0)) if use_rdoq else None
+    SS_REF = 1  # L0 = [temporal, SS]
 
     def step(carry, x):
-        ry, rcb, rcr, cy_, ccb, ccr = carry
+        ry, rcb, rcr, cy_, ccb, ccr, mvx4, mvy4, pi4, rf4 = carry
         outs = {}
         for log2 in sizes:
             n = 1 << log2
             m = n // 2
-            pos, avail, availc, zcur = x[log2]
+            pos, avail, availc, zcur, nbav, miav = x[log2]
             rows, cols = _block_idx(pos, n)
             org = org_y[rows, cols]
+            of = org.astype(jnp.float32)
 
             chains = intra.substitute_refs(_gather_chains(ry, pos, n),
                                            avail, bit_depth)
@@ -633,11 +840,26 @@ def scan_encode_pss(org_y, org_cb, org_cr, ref_y, ref_cb, ref_cr,
             icost = jnp.sum((org - ipred).astype(jnp.float32) ** 2,
                             axis=(1, 2)) + lam_i
 
-            mv_s, sscost, sspred, ssrate, anchor, gtrate, gtok = _ss_search(
-                ry, org, pos, zcur, zmaxw[log2], rate_maps[log2],
+            cands, cref, cvalid, p_ss, p_t = _gather_cands(
+                mvx4, mvy4, pi4, rf4, pos, nbav, miav, n, mi_size, SS_REF)
+            srate_map = _dyn_rate_map(p_ss, radius, lam)
+            trate_map = _dyn_rate_map(p_t, radius_t, lam)
+
+            mv_si, _, sspred0, sssse0, anchor, gtrate, gtok = _ss_search(
+                ry, org, pos, zcur, zmaxw[log2], srate_map,
                 n, radius, w, h, zmax2n[log2] if gt else None)
-            mv_t, tcost, tpred, trate = _t_search(
-                ref_y, org, pos, trate_maps[log2], n, radius_t, w, h)
+            mv_sq, sspred, _, sscost = _frac_refine(
+                ry, of, pos, mv_si * 4, sspred0, sssse0, p_ss, n, h,
+                bit_depth, lam)
+            mv_ti, _, tpred0, tsse0 = _t_search(
+                ref_y, org, pos, trate_map, n, radius_t, w, h)
+            mv_tq, tpred, _, tcost = _frac_refine(
+                ref_y, of, pos, mv_ti * 4, tpred0, tsse0, p_t, n, h,
+                bit_depth, lam)
+
+            mcost, mmv, mref, mpred = _merge_arms(
+                ry, ref_y, of, pos, zcur, zmaxw[log2], cands, cref, cvalid,
+                SS_REF, n, w, h, bit_depth, lam)
 
             if gt:
                 gtc, gpred, gsse = _gt_search(
@@ -652,7 +874,8 @@ def scan_encode_pss(org_y, org_cb, org_cr, ref_y, ref_cb, ref_cr,
                          & gt_chroma_safe(rcr, cpos_g, anchor, gtc, n // 2,
                                           h // 2, bit_depth))
                 gtflag = (gtok & nonzero & csafe & (gcost < sscost)
-                          & (gcost < icost) & (gcost < tcost))
+                          & (gcost < icost) & (gcost < tcost)
+                          & (gcost < mcost))
             else:
                 gtc = jnp.zeros(pos.shape[:1] + (3, 2), jnp.int32)
                 gpred = sspred
@@ -660,19 +883,39 @@ def scan_encode_pss(org_y, org_cb, org_cr, ref_y, ref_cb, ref_cr,
 
             ss_beats_t = sscost < tcost
             intercost = jnp.minimum(sscost, tcost)
-            inter = gtflag | (intercost < icost)
-            use_ss = gtflag | (inter & ss_beats_t)
-            mv = jnp.where(gtflag[:, None], anchor,
-                           jnp.where(use_ss[:, None], mv_s, mv_t))
-            refsel = use_ss.astype(jnp.int32)  # 1 = SS (last L0 idx)
+            merge_win = ((~gtflag) & (mcost < intercost) & (mcost < icost))
+            amvp_win = (~gtflag) & (~merge_win) & (intercost < icost)
+            inter = gtflag | merge_win | amvp_win
+            mv = jnp.where(
+                gtflag[:, None], anchor * 4,
+                jnp.where(merge_win[:, None], mmv,
+                          jnp.where(ss_beats_t[:, None], mv_sq, mv_tq)))
+            refsel = jnp.where(
+                gtflag, SS_REF,
+                jnp.where(merge_win, mref,
+                          jnp.where(ss_beats_t, SS_REF, 0))).astype(
+                              jnp.int32)
+            use_ss = inter & (refsel == SS_REF)
             pred = jnp.where(
                 gtflag[:, None, None], gpred,
-                jnp.where(use_ss[:, None, None], sspred,
-                          jnp.where(inter[:, None, None], tpred, ipred)))
+                jnp.where(
+                    merge_win[:, None, None], mpred,
+                    jnp.where(amvp_win[:, None, None],
+                              jnp.where(ss_beats_t[:, None, None],
+                                        sspred, tpred), ipred)))
             lev, rec, cbf = _tqr(org, pred, n, qp, bit_depth, rcfg_y,
-                                 _mdcs_intra(inter, imode, n), 0)
+                                 _mdcs_intra(inter, imode, n), 0, sbh)
             ry = ry.at[rows, cols].set(rec)
             cy_ = cy_.at[rows, cols].set(lev)
+
+            r4, c4 = _block_idx(pos // 4, n // 4)
+            u = (n // 4, n // 4)
+            bcast = lambda v: jnp.broadcast_to(v[:, None, None],
+                                               (v.shape[0],) + u)
+            mvx4 = mvx4.at[r4, c4].set(bcast(jnp.where(inter, mv[:, 0], 0)))
+            mvy4 = mvy4.at[r4, c4].set(bcast(jnp.where(inter, mv[:, 1], 0)))
+            pi4 = pi4.at[r4, c4].set(bcast(inter.astype(jnp.int32)))
+            rf4 = rf4.at[r4, c4].set(bcast(jnp.where(inter, refsel, 0)))
 
             cpos = pos // 2
             cpos = cpos.at[:, 1].set(
@@ -686,18 +929,19 @@ def scan_encode_pss(org_y, org_cb, org_cr, ref_y, ref_cb, ref_cr,
                 cpreds = intra.predict_all_modes(ch, m, 1, bit_depth, strong)
                 cip = jnp.take_along_axis(
                     cpreds, imode[:, None, None, None], axis=1)[:, 0]
-                css = interp.chroma_mc(rc, cpos, mv, m, h // 2, bit_depth)
-                ct = interp.chroma_mc(refc, cpos, mv, m, h // 2, bit_depth)
+                css = interp.chroma_mc_q(rc, cpos, mv, m, h // 2, bit_depth)
+                ct = interp.chroma_mc_q(refc, cpos, mv, m, h // 2, bit_depth)
                 cpred = jnp.where(
                     use_ss[:, None, None], css,
                     jnp.where(inter[:, None, None], ct, cip))
                 if gt:
-                    cgt = gt_pred_chroma(rc, cpos, mv, gtc, m, h // 2,
+                    cgt = gt_pred_chroma(rc, cpos, mv >> 2, gtc, m, h // 2,
                                          bit_depth)
                     cpred = jnp.where(gtflag[:, None, None], cgt, cpred)
                 clev, crec, ccbf = _tqr(orgc, cpred, m, qp_c, bit_depth,
                                         rcfg_c,
-                                        _mdcs_intra(inter, imode, m, 1), 1)
+                                        _mdcs_intra(inter, imode, m, 1), 1,
+                                        sbh)
                 rc = rc.at[crows, ccols].set(crec)
                 cc = cc.at[crows, ccols].set(clev)
                 return rc, cc, ccbf
@@ -706,10 +950,11 @@ def scan_encode_pss(org_y, org_cb, org_cr, ref_y, ref_cb, ref_cr,
             rcr, ccr, cbf_r = chroma_plane(rcr, ccr, org_cr, ref_cr)
             outs[log2] = (inter, refsel, mv, imode, cbf, cbf_b, cbf_r,
                           gtflag, gtc)
-        return (ry, rcb, rcr, cy_, ccb, ccr), outs
+        return (ry, rcb, rcr, cy_, ccb, ccr, mvx4, mvy4, pi4, rf4), outs
 
-    carry, outs = jax.lax.scan(step, (ry, rcb, rcr, cy_, ccb, ccr), xs)
-    ry, rcb, rcr, cy_, ccb, ccr = carry
+    carry, outs = jax.lax.scan(
+        step, (ry, rcb, rcr, cy_, ccb, ccr, mvx4, mvy4, pi4, rf4), xs)
+    ry, rcb, rcr, cy_, ccb, ccr = carry[:6]
     return ry, rcb, rcr, cy_, ccb, ccr, outs
 
 
@@ -762,7 +1007,7 @@ def scan_decode_ss(resi_y, resi_cb, resi_cr, xs, sizes: tuple,
                 cpreds = intra.predict_all_modes(ch, m, 1, bit_depth, strong)
                 cip = jnp.take_along_axis(
                     cpreds, cmodes[:, None, None, None], axis=1)[:, 0]
-                cmc = interp.chroma_mc(rc, cpos, mvpx, m, h // 2, bit_depth)
+                cmc = interp.chroma_mc_q(rc, cpos, mvq, m, h // 2, bit_depth)
                 cgt = gt_pred_chroma(rc, cpos, mvpx, gtc, m, h // 2,
                                      bit_depth)
                 cpred = jnp.where(gtf[:, None, None] != 0, cgt,
@@ -830,8 +1075,9 @@ def scan_decode_pss(resi_y, resi_cb, resi_cr, ref_y, ref_cb, ref_cr,
                 cpreds = intra.predict_all_modes(ch, m, 1, bit_depth, strong)
                 cip = jnp.take_along_axis(
                     cpreds, cmodes[:, None, None, None], axis=1)[:, 0]
-                css = interp.chroma_mc(rc, cpos, mvpx, m, h // 2, bit_depth)
-                ct = interp.chroma_mc(refc, cpos, mvpx, m, h // 2, bit_depth)
+                css = interp.chroma_mc_q(rc, cpos, mvq, m, h // 2, bit_depth)
+                ct = interp.chroma_mc_q(refc, cpos, mvq, m, h // 2,
+                                        bit_depth)
                 cgt = gt_pred_chroma(rc, cpos, mvpx, gtc, m, h // 2,
                                      bit_depth)
                 cpred = jnp.where(

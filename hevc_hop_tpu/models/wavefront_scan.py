@@ -127,7 +127,7 @@ def _enc_plane(recon, coefp, orgp, pos, avail, modes, n, qp, c_idx,
 
 
 def _enc_plane_ys(recon, orgp, pos, avail, modes, n, qp, c_idx,
-                  bit_depth, strong, rdoq_cfg=None):
+                  bit_depth, strong, rdoq_cfg=None, sbh=False):
     """Like _enc_plane but returns the level block instead of scattering it
     into a dense coefficient plane (coef assembly happens once post-scan).
     rdoq_cfg: None for the plain dead-zone quantizer, or (init_type, lam)
@@ -145,14 +145,17 @@ def _enc_plane_ys(recon, orgp, pos, avail, modes, n, qp, c_idx,
     resi = org - pred
     use_dst = (n == 4 and c_idx == 0)
     coef = transform.fwd_transform(resi, bit_depth, use_dst)
+    scan_id = _mdcs_scan_id(best, n, c_idx)
     if rdoq_cfg is None:
         lev = quant.quant(coef, qp, log2, bit_depth, True)
     else:
         init_type, lam = rdoq_cfg
-        scan_id = _mdcs_scan_id(best, n, c_idx)
         lev = rdoq.rdoq_quant(coef, scan_id, qp=qp, log2_size=log2,
                               bit_depth=bit_depth, c_idx=min(c_idx, 1),
                               init_type=init_type, lam=lam)
+    if sbh:
+        lev = quant.sbh_adjust(lev, scan_id, min(c_idx, 1), coef, qp,
+                               bit_depth)
     deq = quant.dequant(lev, qp, log2, bit_depth)
     rq = transform.inv_transform(deq, bit_depth, use_dst)
     rec = jnp.clip(pred + rq, 0, (1 << bit_depth) - 1)
@@ -164,10 +167,11 @@ def _enc_plane_ys(recon, orgp, pos, avail, modes, n, qp, c_idx,
 @functools.partial(jax.jit, static_argnames=("sizes", "qp", "qp_c",
                                              "bit_depth", "strong", "h",
                                              "hc_off", "use_rdoq",
-                                             "init_type"))
+                                             "init_type", "sbh"))
 def scan_encode(org_y, org_c, xs, sizes: tuple, qp: int, qp_c: int,
                 bit_depth: int, strong: bool, h: int, hc_off: int,
-                use_rdoq: bool = False, init_type: int = 2):
+                use_rdoq: bool = False, init_type: int = 2,
+                sbh: bool = False):
     """Single-program multi-size intra encode, transfer-lean flavor.
 
     org_y: [h+pad, w]; org_c: [2*hc_off, w//2] with cb rows [0, h//2) and cr
@@ -196,7 +200,8 @@ def scan_encode(org_y, org_c, xs, sizes: tuple, qp: int, qp_c: int,
             n = 1 << log2
             p, al, ac, m = x[log2]
             ry, lev_y, best, cbf = _enc_plane_ys(
-                ry, org_y, p, al, m, n, qp, 0, bit_depth, strong, rcfg_y)
+                ry, org_y, p, al, m, n, qp, 0, bit_depth, strong, rcfg_y,
+                sbh)
             pc = p // 2
             pc = pc.at[:, 1].set(jnp.where(p[:, 1] >= h, hc, pc[:, 1]))
             pcc = jnp.concatenate(
@@ -205,7 +210,7 @@ def scan_encode(org_y, org_c, xs, sizes: tuple, qp: int, qp_c: int,
             mc = jnp.concatenate([best, best], 0)
             rc, lev_c, _, cbf_c = _enc_plane_ys(
                 rc, org_c, pcc, acc, mc, n // 2, qp_c, 1, bit_depth, strong,
-                rcfg_c)
+                rcfg_c, sbh)
             ys[log2] = (lev_y, lev_c, best, cbf, cbf_c)
         return (ry, rc), ys
 

@@ -385,6 +385,13 @@ struct ResidualCommon {
   }
 };
 
+// sign_data_hiding_enabled_flag (PPS): when on, each 4x4 coefficient
+// group with lastNZ-firstNZ >= 4 in scan order omits the sign of its
+// first nonzero; the decoder infers it from the abs-level parity
+// (HEVC 7.3.8.11; TComTrQuant.cpp:868 signBitHidingHDQ). Set once per
+// slice-data call, read-only during the walk.
+static int g_sbh = 0;
+
 static void encode_residual(CabacEnc& e, uint8_t* ctx, const int16_t* coef,
                             int stride, int log2, int c_idx, int intra_mode) {
   ResidualCommon rc;
@@ -463,10 +470,12 @@ static void encode_residual(CabacEnc& e, uint8_t* ctx, const int16_t* coef,
     // significance map
     int n_sig = 0;
     int16_t sig_lev[16];
+    int sig_p[16];
     int start = (cgi == last_cg) ? (last_scan_pos & 15) : 15;
     if (cgi == last_cg) {
       int r = rc.cscan[last_scan_pos];
-      sig_lev[n_sig++] = coef[(r >> log2) * stride + (r & (rc.n - 1))];
+      sig_lev[n_sig] = coef[(r >> log2) * stride + (r & (rc.n - 1))];
+      sig_p[n_sig++] = last_scan_pos & 15;
       start--;
     }
     for (int p = start; p >= 0; p--) {
@@ -480,7 +489,7 @@ static void encode_residual(CabacEnc& e, uint8_t* ctx, const int16_t* coef,
                                       right, below), sig);
         if (sig) infer_dc = false;
       }
-      if (sig) sig_lev[n_sig++] = lev;
+      if (sig) { sig_lev[n_sig] = lev; sig_p[n_sig++] = p; }
     }
 
     // greater1 / greater2
@@ -505,8 +514,12 @@ static void encode_residual(CabacEnc& e, uint8_t* ctx, const int16_t* coef,
       e.bin(ctx, abs_base + ctx_set, abs_lev > 2);
     }
 
-    // signs (no sign-data-hiding in this profile configuration)
-    for (int i = 0; i < n_sig; i++) e.bypass(sig_lev[i] < 0);
+    // signs; with SBH the first nonzero's sign (= last collected) is
+    // hidden and carried by the abs-level parity the quantizer enforced
+    bool sign_hidden = g_sbh && n_sig > 0 &&
+                       (sig_p[0] - sig_p[n_sig - 1] >= 4);
+    for (int i = 0; i < n_sig - (sign_hidden ? 1 : 0); i++)
+      e.bypass(sig_lev[i] < 0);
 
     // remaining levels, Golomb-Rice
     int rice = 0;
@@ -632,10 +645,15 @@ static void decode_residual(CabacDec& d, uint8_t* ctx, int16_t* coef,
     if (first_c2_idx >= 0)
       levels[first_c2_idx] += d.bin(ctx, abs_base + ctx_set);
 
+    bool sign_hidden = g_sbh && n_sig > 0 &&
+                       (sig_pos[0] - sig_pos[n_sig - 1] >= 4);
     int signs[16];
-    for (int i = 0; i < n_sig; i++) signs[i] = d.bypass();
+    for (int i = 0; i < n_sig - (sign_hidden ? 1 : 0); i++)
+      signs[i] = d.bypass();
 
     int rice = 0;
+    int abs_out[16];
+    int64_t abs_sum = 0;
     for (int i = 0; i < n_sig; i++) {
       int base_level = (i < 8) ? ((i == first_c2_idx) ? 3 : 2) : 1;
       int abs_lev = levels[i];
@@ -655,10 +673,15 @@ static void decode_residual(CabacDec& d, uint8_t* ctx, int16_t* coef,
         abs_lev = base_level + rem;
       }
       if (abs_lev > (3 << rice) && rice < 4) rice++;
+      abs_out[i] = abs_lev;
+      abs_sum += abs_lev;
+    }
+    if (sign_hidden) signs[n_sig - 1] = (int)(abs_sum & 1);
+    for (int i = 0; i < n_sig; i++) {
       int sp = (cgi << 4) | sig_pos[i];
       int r = rc.cscan[sp];
       coef[(r >> log2) * stride + (r & (rc.n - 1))] =
-          (int16_t)(signs[i] ? -abs_lev : abs_lev);
+          (int16_t)(signs[i] ? -abs_out[i] : abs_out[i]);
     }
   }
 }
@@ -1801,6 +1824,9 @@ int hevc_num_ctx(void) { return NUM_CTX; }
 // Install (or clear, with p == NULL) a [NUM_CTX * 2] uint64 bin-statistics
 // buffer; counts accumulate across subsequent encode calls.
 void hevc_set_bin_counts(uint64_t* p) { g_bin_counts = p; }
+
+// toggle sign_data_hiding for subsequent slice-data / residual calls
+void hevc_set_sbh(int on) { g_sbh = on; }
 
 int64_t hevc_encode_slice_data(
     const uint8_t* ctx_states, int pic_w, int pic_h, int ctb_log2,

@@ -91,6 +91,32 @@ def chroma_mc(plane: jnp.ndarray, cpos: jnp.ndarray, mv_px: jnp.ndarray,
     return filter_2d(window, wh, wv, m, bit_depth)
 
 
+def chroma_mc_q(plane: jnp.ndarray, cpos: jnp.ndarray, mv_qpel: jnp.ndarray,
+                m: int, h_clip: int, bit_depth: int = 8) -> jnp.ndarray:
+    """Chroma MC for quarter-pel luma MVs (full eighth-pel chroma phases,
+    TComPrediction::xPredInterChromaBlk semantics: the luma quarter-pel MV
+    value IS the chroma eighth-pel MV in 4:2:0).
+
+    plane: [Hc(+pad), Wc] int32; cpos: [B, 2] chroma block (x, y);
+    mv_qpel: [B, 2] LUMA quarter-pel motion. Returns [B, m, m].
+    Bit-exact with chroma_mc when mv_qpel is a multiple of 4.
+    """
+    cf = jnp.asarray(CHROMA_FILTER)
+    mvc = mv_qpel >> 3                     # chroma integer offset (floor)
+    phase = mv_qpel & 7                    # eighth-pel phase
+    wh = cf[phase[:, 0]]
+    wv = cf[phase[:, 1]]
+    y0 = cpos[:, 1] + mvc[:, 1] - 1
+    x0 = cpos[:, 0] + mvc[:, 0] - 1
+    t = 4
+    win = m + t - 1
+    ry = y0[:, None, None] + jnp.arange(win)[None, :, None]
+    rx = x0[:, None, None] + jnp.arange(win)[None, None, :]
+    window = plane[jnp.clip(ry, 0, h_clip - 1),
+                   jnp.clip(rx, 0, plane.shape[1] - 1)]
+    return filter_2d(window, wh, wv, m, bit_depth)
+
+
 def luma_mc(plane: jnp.ndarray, pos: jnp.ndarray, mv_qpel: jnp.ndarray,
             n: int, h_clip: int, bit_depth: int = 8) -> jnp.ndarray:
     """Luma MC at quarter-pel precision (8-tap, TComInterpolationFilter

@@ -11,6 +11,7 @@ quantizer used by both and by the decoder-side dequant.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from hevc_hop_tpu.common import rom
 from hevc_hop_tpu.common.types import COEF_MIN, COEF_MAX
@@ -46,3 +47,77 @@ def dequant(level: jnp.ndarray, qp: int, log2_size: int,
     scale = (int(rom.INV_QUANT_SCALES[rem]) * 16) << per
     d = (level * scale + (1 << (bd_shift - 1))) >> bd_shift
     return jnp.clip(d, COEF_MIN, COEF_MAX)
+
+
+def sbh_adjust(lev: jnp.ndarray, scan_id: jnp.ndarray,
+               c_idx: int = 0, coef: jnp.ndarray | None = None,
+               qp: int = 0, bit_depth: int = 8) -> jnp.ndarray:
+    """Sign-bit-hiding parity enforcement (TComTrQuant.cpp:868
+    signBitHidingHDQ analog, batched): for every 4x4 coefficient group
+    where lastNZ-firstNZ >= 4 in scan order, the sign of the first nonzero
+    is inferred by the decoder from the abs-level parity (HEVC 7.3.8.11) —
+    when the parity disagrees with the real sign, one level is moved +-1.
+
+    The position/direction is chosen by true distortion delta against the
+    pre-quant transform coefficients `coef` (HM's deltaU minimization):
+    every nonzero may move toward its quantization error, except a
+    decrement that would zero the FIRST nonzero (that would hand the
+    hidden sign to a different coefficient). lev [B, N, N] int32;
+    scan_id [B] MDCS scan.
+    """
+    b, n, _ = lev.shape
+    log2 = n.bit_length() - 1
+    m = n * n
+    single = not (log2 == 2 or (log2 == 3 and c_idx == 0))
+    flat = lev.reshape(b, m)
+    if single:
+        perm = jnp.broadcast_to(
+            jnp.asarray(rom.scan_raster_index(log2, 0))[None], (b, m))
+    else:
+        perm_np = np.stack([rom.scan_raster_index(log2, s)
+                            for s in (0, 1, 2)])
+        perm = jnp.asarray(perm_np)[scan_id]
+    c = jnp.take_along_axis(flat, perm, axis=1).reshape(b, m // 16, 16)
+    a = jnp.abs(c)
+    nz = c != 0
+    idx = jnp.arange(16)
+    first = jnp.min(jnp.where(nz, idx[None, None], 99), axis=-1)
+    last = jnp.max(jnp.where(nz, idx[None, None], -1), axis=-1)
+    hidden = (last - first) >= 4
+    parity = (jnp.sum(a, -1) & 1) == 1
+    vfirst = jnp.take_along_axis(
+        c, jnp.clip(first, 0, 15)[..., None], -1)[..., 0]
+    mism = hidden & (parity != (vfirst < 0))
+
+    sgn = jnp.sign(c)
+    if coef is None:
+        # no distortion info: decrement the trailing nonzero
+        tgt = jnp.clip(last, 0, 15)
+        delta = jnp.where(mism, -jnp.take_along_axis(
+            sgn, tgt[..., None], -1)[..., 0], 0)
+        c = c + delta[..., None] * (idx[None, None] == tgt[..., None])
+    else:
+        cq = jnp.take_along_axis(coef.reshape(b, m), perm,
+                                 axis=1).reshape(b, m // 16, 16)
+        d_cur = (cq - dequant(c, qp, log2, bit_depth)).astype(jnp.float32)
+        d_dec = (cq - dequant(c - sgn, qp, log2, bit_depth)
+                 ).astype(jnp.float32)
+        d_inc = (cq - dequant(c + sgn, qp, log2, bit_depth)
+                 ).astype(jnp.float32)
+        cost_dec = d_dec * d_dec - d_cur * d_cur
+        cost_inc = d_inc * d_inc - d_cur * d_cur
+        big = jnp.float32(3e38)
+        is_first = idx[None, None] == first[..., None]
+        dec_ok = nz & ~(is_first & (a == 1))
+        cost_dec = jnp.where(dec_ok, cost_dec, big)
+        cost_inc = jnp.where(nz, cost_inc, big)
+        use_dec = cost_dec <= cost_inc
+        cost = jnp.minimum(cost_dec, cost_inc)        # [B, G, 16]
+        tgt = jnp.argmin(cost, axis=-1)
+        dirn = jnp.take_along_axis(use_dec, tgt[..., None], -1)[..., 0]
+        st = jnp.take_along_axis(sgn, tgt[..., None], -1)[..., 0]
+        delta = jnp.where(mism, jnp.where(dirn, -st, st), 0)
+        c = c + delta[..., None] * (idx[None, None] == tgt[..., None])
+    out = jnp.zeros_like(flat).at[
+        jnp.arange(b)[:, None], perm].set(c.reshape(b, m))
+    return out.reshape(b, n, n)

@@ -5,6 +5,17 @@ backend at interpreter startup, so plain env vars are too late — we must
 override via jax.config before any backend is instantiated.
 """
 import os
+import resource
+
+# The XLA CPU compiler recurses deeply on the big wavefront-scan programs
+# (ss_scan.scan_encode_pss): the default 8 MiB main-thread stack can
+# overflow mid-compile (observed as a segfault in backend_compile_and_load
+# late in long suite runs). Raise the soft limit as far as allowed.
+try:
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+except (ValueError, OSError):
+    pass
 
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8"

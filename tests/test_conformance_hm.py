@@ -66,14 +66,15 @@ def synth_lenslet(w, h, mi, seed=7, warped=False):
     rng = np.random.default_rng(seed)
     if not warped:
         base = rng.integers(60, 200, (mi, mi))
-        y = np.tile(base, (h // mi, w // mi)).astype(np.int32)
+        y = np.tile(base, (-(-h // mi), -(-w // mi)))[:h, :w].astype(np.int32)
         y = (y + rng.normal(0, 6, (h, w))).clip(0, 255).astype(np.int32)
     else:
         # per-MI progressive zoom, the fixture that engages the GT search
         from tests.test_e2e_iss import synth_warped_lenslet
         y, _, _ = synth_warped_lenslet(w, h, mi)
     cbase = rng.integers(90, 160, (mi // 2, mi // 2))
-    cb = np.tile(cbase, (h // mi, w // mi)).astype(np.int32)
+    reps = (-(-(h // 2) // (mi // 2)), -(-(w // 2) // (mi // 2)))
+    cb = np.tile(cbase, reps)[:h // 2, :w // 2].astype(np.int32)
     cb = (cb + rng.normal(0, 4, (h // 2, w // 2))).clip(0, 255).astype(
         np.int32)
     cr = (128 + rng.normal(0, 5, (h // 2, w // 2))).clip(0, 255).astype(
@@ -99,7 +100,9 @@ def hm_decode_ok(tmp_path, stream: bytes, recons) -> None:
 @pytest.mark.parametrize("w,h,qp,gt", [
     (64, 64, 32, False),
     (96, 64, 30, False),
-    (96, 64, 32, True),
+    # qp 37: with qpel ME + merge arms in the tournament, the GT warp only
+    # wins where translation genuinely fails (high lambda, zoomed MIs)
+    (96, 64, 37, True),
 ])
 def test_hm_decodes_our_iss_stream(tmp_path, w, h, qp, gt):
     from hevc_hop_tpu.models.ss_encoder import HoloConfig, HoloEncoder
@@ -109,6 +112,32 @@ def test_hm_decodes_our_iss_stream(tmp_path, w, h, qp, gt):
     stream = enc.encode_frame(y, cb, cr)
     if gt:
         assert enc.last_maps.gt8.sum() > 0, "GT never engaged (weak fixture)"
+    hm_decode_ok(tmp_path, stream, [enc.recon_yuv])
+
+
+def test_hm_decodes_nondividing_mi_stream(tmp_path):
+    """mi_size that does not divide the CU size (regression: the VPS holo
+    extension must carry writeAlignOne padding before the ue(v) MI size,
+    TEncCavlc.cpp:572-576 — a misaligned parse silently dropped HM's MI
+    merge/AMVP candidates)."""
+    from hevc_hop_tpu.models.ss_encoder import HoloConfig, HoloEncoder
+    y, cb, cr = synth_lenslet(96, 64, 13, seed=5)
+    enc = HoloEncoder(HoloConfig(width=96, height=64, qp=30, mi_size=13,
+                                 gt=False))
+    stream = enc.encode_frame(y, cb, cr)
+    hm_decode_ok(tmp_path, stream, [enc.recon_yuv])
+
+
+def test_hm_decodes_quadtree_sao_gt_stream(tmp_path):
+    """Mixed-depth CU quadtree (pre-pass decided) + SAO + GT in one ISS
+    stream, decoded bit-exactly by the reference decoder."""
+    from hevc_hop_tpu.models.ss_encoder import HoloConfig, HoloEncoder
+    y, cb, cr = synth_lenslet(128, 96, 13, seed=5)
+    enc = HoloEncoder(HoloConfig(width=128, height=96, qp=30, mi_size=13,
+                                 quadtree=True, sao=True, gt=True))
+    stream = enc.encode_frame(y, cb, cr)
+    assert len(set(enc._depth8.ravel().tolist())) > 1, \
+        "pre-pass chose a uniform tree (weak fixture)"
     hm_decode_ok(tmp_path, stream, [enc.recon_yuv])
 
 

@@ -168,7 +168,8 @@ def run_ours_intra(frame, qp):
     from hevc_hop_tpu.models.encoder import EncoderConfig, IntraEncoder
     y, cb, cr = frame
     h, w = y.shape
-    enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=qp, sao=False))
+    sao = (w % 32 == 0) and (h % 32 == 0)   # HM intra cfg runs SAO on
+    enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=qp, sao=sao))
     stream = enc.encode_frame(y, cb, cr)
     wp, py = weighted_psnr(frame, enc.recon_yuv)
     return len(stream), wp, py
@@ -179,7 +180,8 @@ def run_ours_iss(frame, qp, mi):
     y, cb, cr = frame
     h, w = y.shape
     enc = HoloEncoder(HoloConfig(width=w, height=h, qp=qp, mi_size=mi,
-                                 gt=True, search_range=32))
+                                 gt=True, search_range=32, quadtree=True,
+                                 sao=True))
     stream = enc.encode_frame(y, cb, cr)
     wp, py = weighted_psnr(frame, enc.recon_yuv)
     return len(stream), wp, py
