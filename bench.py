@@ -21,6 +21,19 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# persistent XLA compilation cache: first-ever compile of the 1080p scan
+# programs takes minutes; all later runs (and re-runs of this bench) load
+# the executables from disk
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+try:
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+except Exception:
+    pass
+
 
 def synth_class_b(w, h, seed=0):
     rng = np.random.default_rng(seed)
@@ -47,11 +60,13 @@ def main() -> None:
 
     small = os.environ.get("BENCH_SMALL") == "1"
     w, h = (720, 512) if small else (1920, 1088)
-    y, cb, cr = synth_class_b(w, h)
+    nfr = 4   # DISTINCT frames, encoded via the pipelined throughput path
+    frames = [synth_class_b(w, h, seed=s) for s in range(nfr)]
     enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=32, sao=True))
-    enc.encode_frame(y, cb, cr)  # warm-up/compile
-    t_enc = best_of(lambda: enc.encode_frame(y, cb, cr))
+    enc.encode_frames(frames)  # warm-up/compile every shape bucket
+    t_enc = best_of(lambda: enc.encode_frames(frames)) / nfr
     fps = 1.0 / t_enc
+    y, cb, cr = frames[0]
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "tests", "golden", "measured_baseline.json")

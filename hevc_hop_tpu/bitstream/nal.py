@@ -55,3 +55,38 @@ def annexb_split(stream: bytes) -> list[tuple[int, bytes]]:
         nal_type = (nal[0] >> 1) & 0x3F
         nals.append((nal_type, ebsp_to_rbsp(nal[2:])))
     return nals
+
+
+def ep_insert_count(data: bytes) -> int:
+    """Number of emulation_prevention_three_bytes the NAL escaper will
+    insert inside `data` (00 00 followed by a byte <= 03 -> 03 inserted;
+    bits.rbsp_to_ebsp semantics). WPP entry-point offsets are wire-domain
+    (TEncGOP.cpp puiSubstreamSizes + countStartCodeEmulations)."""
+    cnt = zeros = 0
+    for b in data:
+        if zeros >= 2 and b <= 3:
+            cnt += 1
+            zeros = 0
+        zeros = zeros + 1 if b == 0 else 0
+    return cnt
+
+
+def unwire_substream_sizes(data: bytes, wire_sizes: list) -> list:
+    """Map WIRE substream sizes (escaped-byte counts) back to RBSP byte
+    sizes over the (already de-escaped) slice payload `data` — the
+    decoder-side inverse (TDecCAVLC.cpp:1341-1353 EP-byte subtraction)."""
+    out = []
+    pos = 0
+    for wsz in wire_sizes:
+        zeros = consumed = esc = 0
+        while consumed + esc < wsz:
+            b = data[pos + consumed]
+            if zeros >= 2 and b <= 3:
+                esc += 1
+                zeros = 0
+            zeros = zeros + 1 if b == 0 else 0
+            consumed += 1
+        out.append(consumed)
+        pos += consumed
+    out.append(len(data) - pos)   # last substream: remainder
+    return out

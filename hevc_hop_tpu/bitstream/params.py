@@ -81,6 +81,9 @@ class SliceHeader:
     num_ref_wire: int = 1
     max_merge: int = 5
     sao: bool = False
+    # WPP/tiles entry points (WIRE offsets: escaped-byte counts of each
+    # substream except the last, H.265 7.4.7.1)
+    entry_offsets: list = dataclasses.field(default_factory=list)
     # payload byte offset where slice data (CABAC) starts
     data_offset: int = 0
 
@@ -382,6 +385,18 @@ def write_slice_header(sh: SliceHeader, sps: SPS, pps: PPS) -> BitWriter:
     if not pps.deblocking_disabled or sps.sao_enabled:
         # slice_loop_filter_across_slices_enabled_flag (pps enables it)
         w.write_flag(1)
+    if pps.entropy_coding_sync or pps.tiles_enabled:
+        # WPP entry points (H.265 7.3.6.1; TEncCavlc.cpp:1002
+        # codeTilesWPPEntryPoint): offsets count the bytes AS ESCAPED in
+        # the NAL (substream rbsp size + emulation-prevention insertions,
+        # TEncGOP.cpp puiSubstreamSizes + countStartCodeEmulations)
+        offs = sh.entry_offsets or []
+        w.write_ue(len(offs))
+        if offs:
+            ln = max(1, max((o - 1).bit_length() for o in offs))
+            w.write_ue(ln - 1)
+            for o in offs:
+                w.write(o - 1, ln)
     w.write_byte_alignment()
     return w
 
@@ -425,6 +440,12 @@ def parse_slice_header(data: bytes, sps: SPS, pps: PPS, nal_type: int,
     sh.slice_qp = r.read_se() + pps.init_qp
     if not pps.deblocking_disabled or sps.sao_enabled:
         r.read_flag()    # slice_loop_filter_across_slices_enabled_flag
+    if pps.entropy_coding_sync or pps.tiles_enabled:
+        n_ep = r.read_ue()
+        sh.entry_offsets = []
+        if n_ep:
+            ln = r.read_ue() + 1
+            sh.entry_offsets = [r.read(ln) + 1 for _ in range(n_ep)]
     # byte_alignment(): mandatory stop bit, then zero bits to the boundary
     assert r.read_flag() == 1, "alignment stop bit"
     r_aligned = (r.bit_pos + 7) & ~7

@@ -46,6 +46,15 @@ def get_lib() -> ctypes.CDLL:
     lib.hevc_decode_slice_data.argtypes = [
         u8, c, c, c, c, u8, c64, u8, u8, u8, u8, u8, u8, u8, u8,
         i16, i16, i16, c, u8, u8, i16, u8]
+    i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.hevc_encode_slice_data_wpp.restype = c64
+    lib.hevc_encode_slice_data_wpp.argtypes = [
+        u8, c, c, c, c, u8, u8, u8, u8, u8, u8, u8, u8, i16, i16, i16,
+        c, u8, u8, i16, u8, u8, c64, i64, c]
+    lib.hevc_decode_slice_data_wpp.restype = c64
+    lib.hevc_decode_slice_data_wpp.argtypes = [
+        u8, c, c, c, c, u8, c64, u8, u8, u8, u8, u8, u8, u8, u8,
+        i16, i16, i16, c, u8, u8, i16, u8, i64, c, c]
     lib.cabac_encode_ops.restype = c64
     lib.cabac_encode_ops.argtypes = [u8, c, i32, i32, i32, c, u8, c64]
     lib.cabac_decode_ops.restype = c64
@@ -195,6 +204,47 @@ def encode_slice_data(ctx_states: np.ndarray, maps: SliceMaps) -> bytes:
     if n < 0:
         raise RuntimeError("slice data overflow")
     return out[:n].tobytes()
+
+
+def encode_slice_data_wpp(ctx_states: np.ndarray, maps: SliceMaps,
+                          nthreads: int = 4):
+    """WPP intra slice data: returns (payload bytes, [substream sizes])
+    — one substream per CTU row (entropy_coding_sync_enabled_flag,
+    TEncSlice.cpp:1158-1160 context-snapshot analog)."""
+    lib = get_lib()
+    cap = maps.pic_w * maps.pic_h * 8 + 65536
+    out = np.zeros(cap, np.uint8)
+    ny = (maps.pic_h + (1 << maps.ctb_log2) - 1) >> maps.ctb_log2
+    sub = np.zeros(ny, np.int64)
+    lib.hevc_set_sbh(int(maps.sbh))
+    n = lib.hevc_encode_slice_data_wpp(
+        np.ascontiguousarray(ctx_states, np.uint8),
+        maps.pic_w, maps.pic_h, maps.ctb_log2, maps.max_hier_depth,
+        *maps._args(), *maps._sao_args(), out, cap, sub, nthreads)
+    if n < 0:
+        raise RuntimeError("slice data overflow")
+    return out[:n].tobytes(), [int(s) for s in sub]
+
+
+def decode_slice_data_wpp(ctx_states: np.ndarray, data: bytes,
+                          sub_sizes, pic_w: int, pic_h: int,
+                          ctb_log2: int = 5, max_hier_depth: int = 0,
+                          sao_on: int = 0, sbh: int = 0,
+                          nthreads: int = 4) -> SliceMaps:
+    lib = get_lib()
+    maps = SliceMaps(pic_w, pic_h, ctb_log2, max_hier_depth)
+    maps.sao_on = sao_on
+    maps.sbh = sbh
+    buf = np.frombuffer(data, np.uint8)
+    sub = np.ascontiguousarray(sub_sizes, np.int64)
+    lib.hevc_set_sbh(int(maps.sbh))
+    n = lib.hevc_decode_slice_data_wpp(
+        np.ascontiguousarray(ctx_states, np.uint8), pic_w, pic_h, ctb_log2,
+        max_hier_depth, buf, len(data), *maps._args(), *maps._sao_args(),
+        sub, len(sub), nthreads)
+    if n < 0:
+        raise RuntimeError("wpp slice data desync")
+    return maps
 
 
 def decode_slice_data(ctx_states: np.ndarray, data: bytes,

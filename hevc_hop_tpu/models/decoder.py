@@ -8,7 +8,11 @@ grid is uniform, falling back to per-step dispatch for mixed quadtrees.
 """
 from __future__ import annotations
 
+import collections
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from hevc_hop_tpu.bitstream import nal, params
@@ -21,51 +25,94 @@ from hevc_hop_tpu.models import wavefront, wavefront_scan
 from hevc_hop_tpu.ops import deblock
 
 
-def _dense_residual(coef_plane: np.ndarray, leaves, qp: int, bit_depth: int,
-                    chroma: bool) -> np.ndarray:
-    """Dequant + inverse transform all TUs, batched per size."""
-    sizes = {log2 for (_, _, log2) in leaves}
-    if len(sizes) == 1:
-        # uniform fast path: reshape the whole plane into blocks
-        log2 = next(iter(sizes)) - (1 if chroma else 0)
+@functools.partial(jax.jit, static_argnames=("qp", "bit_depth", "uni_log2"))
+def _residual_uniform(coefp, qp: int, bit_depth: int, uni_log2: int):
+    n = 1 << uni_log2
+    h, w = coefp.shape
+    blocks = coefp.astype(jnp.int32).reshape(
+        h // n, n, w // n, n).transpose(0, 2, 1, 3).reshape(-1, n, n)
+    deq = quant.dequant(blocks, qp, uni_log2, bit_depth)
+    resi = transform.inv_transform(deq, bit_depth, use_dst=False)
+    return resi.reshape(h // n, w // n, n, n).transpose(
+        0, 2, 1, 3).reshape(h, w)
+
+
+@functools.partial(jax.jit, static_argnames=("qp", "bit_depth", "sizes"))
+def _residual_mixed(coefp, pos_by_size, qp: int, bit_depth: int,
+                    sizes: tuple):
+    out = jnp.zeros(coefp.shape, jnp.int32)
+    coefp = coefp.astype(jnp.int32)
+    for log2 in sizes:
         n = 1 << log2
-        h, w = coef_plane.shape
-        blocks = coef_plane.astype(np.int32).reshape(
-            h // n, n, w // n, n).transpose(0, 2, 1, 3).reshape(-1, n, n)
-        deq = quant.dequant(jnp.asarray(blocks), qp, log2, bit_depth)
-        resi = np.asarray(transform.inv_transform(deq, bit_depth,
-                                                  use_dst=False))
-        return resi.reshape(h // n, w // n, n, n).transpose(
-            0, 2, 1, 3).reshape(h, w)
-    out = np.zeros_like(coef_plane, dtype=np.int32)
+        pos = pos_by_size[log2]          # [K, 2] int32 (x, y)
+        rows = pos[:, 1:2, None] + jnp.arange(n)[None, :, None]
+        cols = pos[:, 0:1, None].transpose(0, 2, 1) \
+            + jnp.arange(n)[None, None, :]
+        rows = jnp.broadcast_to(rows, (pos.shape[0], n, n))
+        cols = jnp.broadcast_to(cols, (pos.shape[0], n, n))
+        blocks = coefp[rows, cols]
+        deq = quant.dequant(blocks, qp, log2, bit_depth)
+        resi = transform.inv_transform(deq, bit_depth, use_dst=False)
+        out = out.at[rows, cols].set(resi)
+    return out
+
+
+def _dense_residual(coef_plane: np.ndarray, leaves, qp: int, bit_depth: int,
+                    chroma: bool) -> jnp.ndarray:
+    """Dequant + inverse transform all TUs, batched per size.
+
+    Returns a DEVICE plane — the decode pipeline stays on device end to
+    end; only final pictures are (lazily) fetched."""
+    sizes = {log2 for (_, _, log2) in leaves}
+    # int8 upload fast path halves the host->device coefficient traffic
+    cp = (coef_plane.astype(np.int8)
+          if np.abs(coef_plane, dtype=np.int32).max(initial=0) <= 127
+          else coef_plane)
+    if len(sizes) == 1:
+        log2 = next(iter(sizes)) - (1 if chroma else 0)
+        return _residual_uniform(jnp.asarray(cp), qp, bit_depth, log2)
     by_size = {}
     for (x, y, log2) in leaves:
         if chroma:
             x, y, log2 = x // 2, y // 2, log2 - 1
         by_size.setdefault(log2, []).append((x, y))
-    for log2, positions in by_size.items():
-        n = 1 << log2
-        blocks = np.stack([coef_plane[y:y + n, x:x + n]
-                           for (x, y) in positions]).astype(np.int32)
-        deq = quant.dequant(jnp.asarray(blocks), qp, log2, bit_depth)
-        resi = np.asarray(transform.inv_transform(deq, bit_depth,
-                                                  use_dst=False))
-        for i, (x, y) in enumerate(positions):
-            out[y:y + n, x:x + n] = resi[i]
-    return out
+    pos = {log2: jnp.asarray(np.array(p, np.int32))
+           for log2, p in sorted(by_size.items())}
+    return _residual_mixed(jnp.asarray(cp), pos, qp, bit_depth,
+                           tuple(sorted(by_size)))
 
 
 class Decoder:
+    # schedule construction is pure in (geometry, mv rects); cache across
+    # frames/streams so repeated partitions skip the host-side build
+    _sched_cache: collections.OrderedDict = collections.OrderedDict()
+    _SCHED_CACHE_MAX = 8
+
     def __init__(self) -> None:
         self.sps = None
         self.pps = None
         self.vps = None
-        self.pictures = []
+        self._pics_dev = []   # device (y, cb, cr) int32 triples
+        self._pics_np = []    # lazily fetched host copies
         self.hash_ok = []   # per decoded-picture-hash SEI verification
+
+    @property
+    def pictures(self) -> list:
+        """Host (numpy int32) decoded pictures, fetched lazily in one
+        batched roundtrip (uint8/uint16 over the wire)."""
+        if len(self._pics_np) < len(self._pics_dev):
+            udt = (jnp.uint8 if self.sps.bit_depth <= 8 else jnp.uint16)
+            pend = self._pics_dev[len(self._pics_np):]
+            got = jax.device_get([tuple(p.astype(udt) for p in t)
+                                  for t in pend])
+            self._pics_np.extend(
+                tuple(np.asarray(p, np.int32) for p in t) for t in got)
+        return self._pics_np
 
     def decode_stream(self, stream: bytes) -> list:
         """Decode an AnnexB stream; returns list of (y, cb, cr) frames."""
         from hevc_hop_tpu.bitstream import sei as seimod
+        from hevc_hop_tpu.ops import hashes
         for (nal_type, rbsp) in nal.annexb_split(stream):
             if nal_type == NalUnitType.VPS_NUT:
                 self.vps = params.parse_vps(rbsp)
@@ -80,11 +127,19 @@ class Decoder:
                               NalUnitType.SUFFIX_SEI_NUT):
                 for msg in seimod.parse_sei(rbsp):
                     if (msg.payload_type == seimod.PICTURE_HASH
-                            and self.pictures):
-                        # TDecGop.cpp:230 calcAndPrintHashStatus
-                        self.hash_ok.append(seimod.verify_picture_hash(
-                            msg.payload, *self.pictures[-1],
-                            self.sps.bit_depth))
+                            and self._pics_dev):
+                        # TDecGop.cpp:230 calcAndPrintHashStatus; the
+                        # checksum type verifies as a device reduction
+                        # (no picture transfer)
+                        if msg.payload[0] == seimod.HASH_CHECKSUM:
+                            dig = hashes.checksum_digests(
+                                *self._pics_dev[-1], self.sps.bit_depth)
+                            self.hash_ok.append(
+                                msg.payload[1:] == b"".join(dig))
+                        else:
+                            self.hash_ok.append(seimod.verify_picture_hash(
+                                msg.payload, *self.pictures[-1],
+                                self.sps.bit_depth))
         return self.pictures
 
     def _decode_slice(self, rbsp: bytes, nal_type: int) -> None:
@@ -113,6 +168,18 @@ class Decoder:
                 int(SliceType.ISS), self.vps.holo_mi_size,
                 sao_on=int(sps.sao_enabled),
                 sbh=int(pps.sign_data_hiding))
+        elif pps.entropy_coding_sync:
+            # WPP: wire entry offsets -> RBSP substream sizes -> parallel
+            # row decode (TDecSlice.cpp:262,371 context-sync analog)
+            data = rbsp[sh.data_offset:]
+            ny = (h + (1 << sps.ctb_log2) - 1) >> sps.ctb_log2
+            assert len(sh.entry_offsets) == ny - 1, "entry point count"
+            subs = nal.unwire_substream_sizes(data, sh.entry_offsets)
+            maps = native.decode_slice_data_wpp(
+                states, data, subs, w, h, sps.ctb_log2,
+                max_hier_depth=sps.max_transform_hierarchy_depth_intra,
+                sao_on=int(sps.sao_enabled),
+                sbh=int(pps.sign_data_hiding))
         else:
             maps = native.decode_slice_data(
                 states, rbsp[sh.data_offset:], w, h, sps.ctb_log2,
@@ -136,11 +203,25 @@ class Decoder:
         else:
             self._recon(maps, leaves, resi_y, resi_cb, resi_cr)
 
+    @classmethod
+    def _cached_schedule(cls, key, build):
+        hit = cls._sched_cache.get(key)
+        if hit is not None:
+            cls._sched_cache.move_to_end(key)
+            return hit
+        val = build()
+        cls._sched_cache[key] = val
+        while len(cls._sched_cache) > cls._SCHED_CACHE_MAX:
+            cls._sched_cache.popitem(last=False)
+        return val
+
     def _recon(self, maps, leaves, resi_y, resi_cb, resi_cr) -> None:
         sps = self.sps
         w, h, bd = sps.pic_width, sps.pic_height, sps.bit_depth
-        sizes, data, nsteps = wavefront_scan.build_schedule(
-            leaves, w, h, sps.ctb_log2)
+        key = ("i", w, h, sps.ctb_log2, np.array(leaves, np.int32).tobytes())
+        sizes, data, nsteps = self._cached_schedule(
+            key, lambda: wavefront_scan.build_schedule(
+                leaves, w, h, sps.ctb_log2))
         xs = {}
         for log2 in sizes:
             d = data[log2]
@@ -157,12 +238,11 @@ class Decoder:
                         jnp.asarray(cmodes))
 
         pad = 1 << sps.ctb_log2
-        rpy = jnp.zeros((h + pad, w), jnp.int32).at[:h].set(
-            jnp.asarray(resi_y))
+        rpy = jnp.zeros((h + pad, w), jnp.int32).at[:h].set(resi_y)
         rpcb = jnp.zeros((h // 2 + pad, w // 2), jnp.int32).at[:h // 2].set(
-            jnp.asarray(resi_cb))
+            resi_cb)
         rpcr = jnp.zeros((h // 2 + pad, w // 2), jnp.int32).at[:h // 2].set(
-            jnp.asarray(resi_cr))
+            resi_cr)
         ry, rcb, rcr = wavefront_scan.scan_decode(
             rpy, rpcb, rpcr, xs, sizes=sizes, bit_depth=bd,
             strong=sps.strong_intra_smoothing, h=h)
@@ -180,9 +260,7 @@ class Decoder:
             ry, rcb, rcr = saop.apply_sao_frame(
                 ry, rcb, rcr, maps.sao_type, maps.sao_off, maps.sao_band,
                 self.sps.ctb_log2, bd)
-        self.pictures.append((np.asarray(ry, np.int32),
-                              np.asarray(rcb, np.int32),
-                              np.asarray(rcr, np.int32)))
+        self._pics_dev.append((ry, rcb, rcr))
 
     def _recon_ss(self, maps, leaves, resi_y, resi_cb, resi_cr) -> None:
         """ISS reconstruction: MV-aware wavefront over intra + SS CUs.
@@ -198,24 +276,27 @@ class Decoder:
         pss = maps.slice_type == int(SliceType.PSS)
         ss_idx = maps.num_ref - 1
         arr = np.array(leaves, np.int32)
-        rects = np.zeros((len(leaves), 4), np.int32)
-        for i, (x, y, log2) in enumerate(leaves):
-            if (maps.pred4[y // 4, x // 4] == 0
-                    and maps.ref4[y // 4, x // 4] == ss_idx):  # SS PU
-                n = 1 << log2
-                mvx = int(maps.mv4x[y // 4, x // 4]) >> 2
-                mvy = int(maps.mv4y[y // 4, x // 4]) >> 2
-                if maps.gt8[y // 8, x // 8]:
-                    # GT warp reads the clamped 2n window (+chroma slack)
-                    f = 2
-                    rects[i] = (x + mvx - n // 2 - f, y + mvy - n // 2 - f,
-                                2 * n + 2 * f, 2 * n + 2 * f)
-                else:
-                    f = ss_scan.IFM
-                    rects[i] = (x + mvx - f, y + mvy - f,
-                                n + 2 * f, n + 2 * f)
-        sizes, data, nsteps = ss_scan.build_schedule_ss(
-            leaves, w, h, sps.ctb_log2, radius=0, mv_rect=rects)
+        lx, ly, lg = arr[:, 0], arr[:, 1], arr[:, 2]
+        n = (1 << lg).astype(np.int32)
+        x4, y4 = lx // 4, ly // 4
+        is_ss = ((maps.pred4[y4, x4] == 0)
+                 & (maps.ref4[y4, x4] == ss_idx))   # SS PUs
+        mvx = maps.mv4x[y4, x4].astype(np.int32) >> 2
+        mvy = maps.mv4y[y4, x4].astype(np.int32) >> 2
+        gt = maps.gt8[ly // 8, lx // 8] != 0
+        # GT warp reads the clamped 2n window (+chroma slack); plain MC
+        # reads the n window + interpolation margin
+        f = np.where(gt, 2, ss_scan.IFM)
+        x0 = np.where(gt, lx + mvx - n // 2 - f, lx + mvx - f)
+        y0 = np.where(gt, ly + mvy - n // 2 - f, ly + mvy - f)
+        wh = np.where(gt, 2 * n + 2 * f, n + 2 * f)
+        rects = np.where(is_ss[:, None],
+                         np.stack([x0, y0, wh, wh], -1), 0).astype(np.int32)
+        key = ("ss", w, h, sps.ctb_log2,
+               np.array(leaves, np.int32).tobytes(), rects.tobytes())
+        sizes, data, nsteps = self._cached_schedule(
+            key, lambda: ss_scan.build_schedule_ss(
+                leaves, w, h, sps.ctb_log2, radius=0, mv_rect=rects))
 
         xs = {}
         for log2 in sizes:
@@ -251,18 +332,16 @@ class Decoder:
                                      jnp.asarray(gtf), jnp.asarray(gtv))
 
         pad = 1 << sps.ctb_log2
-        rpy = jnp.zeros((h + pad, w), jnp.int32).at[:h].set(
-            jnp.asarray(resi_y))
+        rpy = jnp.zeros((h + pad, w), jnp.int32).at[:h].set(resi_y)
         rpcb = jnp.zeros((h // 2 + pad, w // 2), jnp.int32).at[:h // 2].set(
-            jnp.asarray(resi_cb))
+            resi_cb)
         rpcr = jnp.zeros((h // 2 + pad, w // 2), jnp.int32).at[:h // 2].set(
-            jnp.asarray(resi_cr))
+            resi_cr)
         if pss:
-            py_, pcb, pcr = self.pictures[-1]
+            py_, pcb, pcr = self._pics_dev[-1]
             ry, rcb, rcr = ss_scan.scan_decode_pss(
-                rpy, rpcb, rpcr, jnp.asarray(py_), jnp.asarray(pcb),
-                jnp.asarray(pcr), xs, sizes=sizes, bit_depth=bd,
-                strong=sps.strong_intra_smoothing, h=h)
+                rpy, rpcb, rpcr, py_, pcb, pcr, xs, sizes=sizes,
+                bit_depth=bd, strong=sps.strong_intra_smoothing, h=h)
         else:
             ry, rcb, rcr = ss_scan.scan_decode_ss(
                 rpy, rpcb, rpcr, xs, sizes=sizes, bit_depth=bd,
@@ -282,9 +361,7 @@ class Decoder:
             ry, rcb, rcr = saop.apply_sao_frame(
                 ry, rcb, rcr, maps.sao_type, maps.sao_off, maps.sao_band,
                 self.sps.ctb_log2, bd)
-        self.pictures.append((np.asarray(ry, np.int32),
-                              np.asarray(rcb, np.int32),
-                              np.asarray(rcr, np.int32)))
+        self._pics_dev.append((ry, rcb, rcr))
 
     def picture_md5(self, idx: int = -1) -> bytes:
         y, cb, cr = self.pictures[idx]

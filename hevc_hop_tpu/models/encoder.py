@@ -16,6 +16,7 @@ from __future__ import annotations
 import dataclasses
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from hevc_hop_tpu.bitstream import nal, params
@@ -49,6 +50,9 @@ class EncoderConfig:
     rdoq: bool = True
     # sign_data_hiding_enabled_flag (TComTrQuant.cpp:868 signBitHidingHDQ)
     sbh: bool = True
+    # entropy_coding_sync_enabled_flag: one CABAC substream per CTU row,
+    # coded by parallel host threads (TEncSlice.cpp:1158 WPP analog)
+    wpp: bool = False
 
 
 class IntraEncoder:
@@ -68,6 +72,7 @@ class IntraEncoder:
             strong_intra_smoothing=cfg.strong_intra_smoothing)
         self.pps = params.PPS(init_qp=26,
                               sign_data_hiding=cfg.sbh,
+                              entropy_coding_sync=cfg.wpp,
                               deblocking_disabled=not cfg.deblocking)
 
     def headers(self) -> list:
@@ -90,16 +95,19 @@ class IntraEncoder:
         if cfg.mode_decision == "rmd":
             return np.full((h // 8, w // 8), cfg.ctb_log2 - 3, np.uint8), None
         # true-RD analysis at every CU size on a 32-aligned padded copy
+        # (uint8/uint16 upload; rd_costs casts on device)
         pw, ph = -w % 32, -h % 32
-        yp = np.pad(y, ((0, ph), (0, pw)), mode="edge")
+        udt = np.uint8 if cfg.bit_depth <= 8 else np.uint16
+        yp = np.pad(y.astype(udt), ((0, ph), (0, pw)), mode="edge")
         ypj = jnp.asarray(yp)
         rd8, m8 = partition.rd_costs(ypj, 8, cfg.qp, cfg.bit_depth)
         rd16, m16 = partition.rd_costs(ypj, 16, cfg.qp, cfg.bit_depth)
         rd32, m32 = partition.rd_costs(ypj, 32, cfg.qp, cfg.bit_depth)
         depth, mode = partition.decide(rd8, rd16, rd32, m8, m16, m32,
                                        cfg.qp, cfg.ctb_log2)
-        return (np.asarray(depth)[:h // 8, :w // 8].astype(np.uint8),
-                np.asarray(mode)[:h // 8, :w // 8].astype(np.int32))
+        depth, mode = jax.device_get((depth, mode))  # one roundtrip
+        return (depth[:h // 8, :w // 8].astype(np.uint8),
+                mode[:h // 8, :w // 8].astype(np.int32))
 
     def _schedule(self, depth8: np.ndarray):
         """Schedule + scatter indices, cached per partition geometry.
@@ -109,8 +117,13 @@ class IntraEncoder:
         per-CTU walk has no equivalent cache because HM re-decides per CTU).
         """
         key = depth8.tobytes()
-        if getattr(self, "_sched_key", None) == key:
-            return self._sched
+        cache = getattr(self, "_sched_cache", None)
+        if cache is None:
+            import collections
+            cache = self._sched_cache = collections.OrderedDict()
+        if key in cache:
+            cache.move_to_end(key)
+            return cache[key]
         cfg = self.cfg
         w, h = cfg.width, cfg.height
         leaves = wavefront.leaves_from_depth(depth8, w, h, cfg.ctb_log2)
@@ -134,9 +147,11 @@ class IntraEncoder:
             iy8 = pyv[:, None, None] // 8 + np.arange(u)[None, :, None]
             ix8 = pxv[:, None, None] // 8 + np.arange(u)[None, None, :]
             scat[log2] = (vm, iy4, ix4, iy8, ix8)
-        self._sched_key = key
-        self._sched = (leaves, sizes, data, tu4, scat)
-        return self._sched
+        val = (leaves, sizes, data, tu4, scat)
+        cache[key] = val
+        while len(cache) > 8:        # bounded (advisor round-4 pattern)
+            cache.popitem(last=False)
+        return val
 
     @staticmethod
     def _scatter_outputs(maps, sizes, scat, outs) -> None:
@@ -160,6 +175,29 @@ class IntraEncoder:
         Reconstruction is kept on device; see recon_yuv / recon_md5.
         Per-stage wall-clock telemetry lands in self.last_stats
         (TEncGOP.cpp:1784 dEncTime analog)."""
+        return self._stage2(self._stage1(y, cb, cr))
+
+    def encode_frames(self, frames: list) -> list:
+        """Pipelined multi-frame encode (throughput path): the device
+        programs of frame i+1 are dispatched before frame i's results are
+        fetched and entropy-coded on the host, so host work and tunnel
+        transfers overlap device compute (TEncGOP::compressGOP encodes a
+        GOP strictly sequentially, TEncGOP.cpp:338 — on TPU the seam
+        between device and host work is the natural pipeline boundary).
+        frames: [(y, cb, cr), ...] -> [stream, ...], bit-identical to
+        per-frame encode_frame calls."""
+        out, pend = [], None
+        for (y, cb, cr) in frames:
+            st = self._stage1(y, cb, cr)
+            if pend is not None:
+                out.append(self._stage2(pend))
+            pend = st
+        out.append(self._stage2(pend))
+        return out
+
+    def _stage1(self, y, cb, cr) -> dict:
+        """Decide + dispatch every device program for one frame; no
+        device->host fetch beyond the (small) partition decision."""
         import time as _time
         stats = {}
         t0 = _time.perf_counter()
@@ -200,14 +238,15 @@ class IntraEncoder:
         qp = cfg.qp
         qp_c = rom.chroma_qp_from_luma(qp)
         t1 = _time.perf_counter()
+        org_y_dev = jnp.asarray(org_y)
+        org_c_dev = jnp.asarray(org_c)
         (ry, rc, coef_y, coef_c, coef8, wide,
          outs) = wavefront_scan.scan_encode(
-            jnp.asarray(org_y), jnp.asarray(org_c), xs, sizes=sizes, qp=qp,
+            org_y_dev, org_c_dev, xs, sizes=sizes, qp=qp,
             qp_c=qp_c, bit_depth=cfg.bit_depth,
             strong=cfg.strong_intra_smoothing, h=h, hc_off=hc_off,
             use_rdoq=cfg.rdoq, init_type=int(SliceType.I),
-            sbh=cfg.sbh)
-        ry.block_until_ready()
+            sbh=cfg.sbh, rmd=mode8 is None)
         stats["scan_s"] = _time.perf_counter() - t1
 
         t1 = _time.perf_counter()
@@ -216,41 +255,77 @@ class IntraEncoder:
             ry, rcb, rcr = deblock.deblock_frame(
                 ry, rcb, rcr, jnp.asarray(maps.tu4), qp=qp, qp_c=qp_c,
                 bit_depth=cfg.bit_depth)
+        sao_stats = None
         if cfg.sao:
-            from hevc_hop_tpu.models import partition as _part
             from hevc_hop_tpu.ops import sao as saop
-            ry, rcb, rcr = saop.rdo_and_apply(
-                (y, cb, cr), (ry, rcb, rcr), maps, cfg.ctb_log2,
-                _part.full_lambda(qp), cfg.bit_depth)
-        self._recon_dev = (ry, rcb, rcr)
-        self._recon_np = None
-        ry.block_until_ready()
+            # org references from the already-uploaded device planes
+            oy = org_y_dev[:h]
+            ocb = org_c_dev[:hc]
+            ocr = org_c_dev[hc_off:hc_off + hc]
+            sao_stats = saop.stats_dispatch((oy, ocb, ocr), (ry, rcb, rcr),
+                                            cfg.ctb_log2, cfg.bit_depth)
         stats["loopfilter_s"] = _time.perf_counter() - t1
+        stats["_t0"] = t0
+        return dict(maps=maps, sizes=sizes, scat=scat, stats=stats,
+                    recon=(ry, rcb, rcr), sao_stats=sao_stats,
+                    wide=wide, coef8=coef8, coef16=(coef_y, coef_c),
+                    outs=outs, hc=hc, hc_off=hc_off, qp=qp)
 
-        # device->host coefficients: int8 fast path (halves the tunnel
-        # traffic); int16 refetch only when some |level| > 127
+    def _stage2(self, st: dict) -> bytes:
+        """Fetch + host RDO/entropy for a frame dispatched by _stage1."""
+        import time as _time
+        cfg = self.cfg
+        maps, stats = st["maps"], st["stats"]
+        hc, hc_off, qp = st["hc"], st["hc_off"], st["qp"]
+        ry, rcb, rcr = st["recon"]
+
+        # device->host: ONE batched fetch for the int8 coefficient planes,
+        # the wide flag, the per-block entropy outputs, and (when on) the
+        # SAO statistics (the tunnel costs ~40 ms latency per roundtrip)
         t1 = _time.perf_counter()
-        if bool(wide):
-            maps.coef_y[:] = np.asarray(coef_y)
-            cc = np.asarray(coef_c)
+        wide_np, c8y, c8c, outs_np, sao_np = jax.device_get(
+            (st["wide"], st["coef8"][0], st["coef8"][1], st["outs"],
+             st["sao_stats"]))
+        if bool(wide_np):   # rare: some |level| > 127, refetch int16
+            maps.coef_y[:], cc = jax.device_get(st["coef16"])
         else:
-            maps.coef_y[:] = np.asarray(coef8[0], np.int16)
-            cc = np.asarray(coef8[1], np.int16)
+            maps.coef_y[:] = c8y.astype(np.int16)
+            cc = c8c.astype(np.int16)
         maps.coef_cb[:] = cc[:hc]
         maps.coef_cr[:] = cc[hc_off:hc_off + hc]
         stats["fetch_s"] = _time.perf_counter() - t1
 
+        t1 = _time.perf_counter()
+        if sao_np is not None:
+            from hevc_hop_tpu.models import partition as _part
+            from hevc_hop_tpu.ops import sao as saop
+            ry, rcb, rcr = saop.choose_apply(
+                sao_np, (ry, rcb, rcr), maps, cfg.ctb_log2,
+                _part.full_lambda(qp), cfg.bit_depth)
+        self._recon_dev = (ry, rcb, rcr)
+        self._recon_np = None
+        stats["sao_s"] = _time.perf_counter() - t1
+
         # scatter per-block outputs into dense maps (host)
         t1 = _time.perf_counter()
-        self._scatter_outputs(maps, sizes, scat, outs)
+        self._scatter_outputs(maps, st["sizes"], st["scat"], outs_np)
         stats["maps_s"] = _time.perf_counter() - t1
 
         # entropy: slice header + native slice data
         t1 = _time.perf_counter()
         sh = params.SliceHeader(slice_type=SliceType.I, slice_qp=qp)
-        hw = params.write_slice_header(sh, self.sps, self.pps)
         states = ctx_layout.init_states(int(SliceType.I), qp)
-        payload = native.encode_slice_data(states, maps)
+        if cfg.wpp:
+            payload, subs = native.encode_slice_data_wpp(states, maps)
+            # wire entry offsets = escaped byte counts per substream
+            pos, wire = 0, []
+            for s in subs[:-1]:
+                wire.append(s + nal.ep_insert_count(payload[pos:pos + s]))
+                pos += s
+            sh.entry_offsets = wire
+        else:
+            payload = native.encode_slice_data(states, maps)
+        hw = params.write_slice_header(sh, self.sps, self.pps)
         hw.write_bytes(payload)
         slice_nal = nal.make_nal(NalUnitType.IDR_W_RADL, hw.get_bytes())
         stats["entropy_s"] = _time.perf_counter() - t1
@@ -269,7 +344,7 @@ class IntraEncoder:
                 sei.PICTURE_HASH,
                 sei.make_picture_hash_payload(digests, cfg.hash_type))]))
         out = nal.annexb_wrap(self.headers() + [slice_nal, sei_nal])
-        stats["total_s"] = _time.perf_counter() - t0
+        stats["total_s"] = _time.perf_counter() - stats.pop("_t0")
         stats["bytes"] = len(out)
         self.last_stats = stats
         return out
@@ -277,10 +352,10 @@ class IntraEncoder:
     @property
     def recon_yuv(self):
         if self._recon_np is None:
-            ry, rcb, rcr = self._recon_dev
-            self._recon_np = (np.asarray(ry, np.int32),
-                              np.asarray(rcb, np.int32),
-                              np.asarray(rcr, np.int32))
+            udt = jnp.uint8 if self.cfg.bit_depth <= 8 else jnp.uint16
+            got = jax.device_get(tuple(p.astype(udt)
+                                       for p in self._recon_dev))
+            self._recon_np = tuple(np.asarray(p, np.int32) for p in got)
         return self._recon_np
 
     def recon_md5(self) -> bytes:

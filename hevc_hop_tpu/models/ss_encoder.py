@@ -14,9 +14,11 @@ into skip/merge/AMVP syntax (native/cabac.cpp code_inter_cu).
 """
 from __future__ import annotations
 
+import collections
 import dataclasses
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from hevc_hop_tpu.bitstream import nal, params
@@ -119,8 +121,9 @@ class HoloEncoder:
         under `key` (depth-map digest)."""
         cache = getattr(self, "_prep_cache", None)
         if cache is None:
-            cache = self._prep_cache = {}
+            cache = self._prep_cache = collections.OrderedDict()
         if key in cache:
+            cache.move_to_end(key)
             return cache[key]
         cfg = self.cfg
         w, h = cfg.width, cfg.height
@@ -161,6 +164,10 @@ class HoloEncoder:
             scat[log2] = (vm, px, py, iy4, ix4, iy8, ix8)
         prep = (sizes, data, zmaxw, zmax2n, xs, scat)
         cache[key] = prep
+        # bounded LRU: distinct per-frame partitions otherwise accumulate
+        # schedules AND XLA executables without end (advisor round-4)
+        while len(cache) > 4:
+            cache.popitem(last=False)
         return prep
 
     def _frame_prep(self, y: np.ndarray, ref_y=None):
@@ -184,13 +191,23 @@ class HoloEncoder:
         cfg = self.cfg
         w, h = cfg.width, cfg.height
         pad = 1 << cfg.ctb_log2
+        udt = np.uint8 if cfg.bit_depth <= 8 else np.uint16
         org_y = jnp.zeros((h + pad, w), jnp.int32).at[:h].set(
-            jnp.asarray(y, jnp.int32))
+            jnp.asarray(np.ascontiguousarray(y, udt)).astype(jnp.int32))
         org_cb = jnp.zeros((h // 2 + pad, w // 2), jnp.int32).at[:h // 2].set(
-            jnp.asarray(cb, jnp.int32))
+            jnp.asarray(np.ascontiguousarray(cb, udt)).astype(jnp.int32))
         org_cr = jnp.zeros((h // 2 + pad, w // 2), jnp.int32).at[:h // 2].set(
-            jnp.asarray(cr, jnp.int32))
+            jnp.asarray(np.ascontiguousarray(cr, udt)).astype(jnp.int32))
         return org_y, org_cb, org_cr
+
+    @staticmethod
+    def _fetch_all(coef_y, coef_cb, coef_cr, outs, h):
+        """ONE batched device->host roundtrip for the coefficient planes
+        (int16 over the wire) and all per-block entropy outputs."""
+        return jax.device_get(
+            (coef_y[:h].astype(jnp.int16),
+             coef_cb[:h // 2].astype(jnp.int16),
+             coef_cr[:h // 2].astype(jnp.int16), outs))
 
     def _fill_maps(self, maps, sizes, scat, outs, pss: bool):
         """Dense syntax maps from per-step outputs: ONE vectorized scatter
@@ -249,9 +266,11 @@ class HoloEncoder:
         maps.slice_type = int(SliceType.ISS)
         maps.sbh = int(cfg.sbh)
         maps.mi_size = cfg.mi_size
-        maps.coef_y[:] = np.asarray(coef_y[:h], np.int16)
-        maps.coef_cb[:] = np.asarray(coef_cb[:h // 2], np.int16)
-        maps.coef_cr[:] = np.asarray(coef_cr[:h // 2], np.int16)
+        cy_np, ccb_np, ccr_np, outs = self._fetch_all(
+            coef_y, coef_cb, coef_cr, outs, h)
+        maps.coef_y[:] = cy_np
+        maps.coef_cb[:] = ccb_np
+        maps.coef_cr[:] = ccr_np
         self._fill_maps(maps, sizes, scat, outs, pss=False)
 
         ry, rcb, rcr = ry[:h], rcb[:h // 2], rcr[:h // 2]
@@ -264,7 +283,8 @@ class HoloEncoder:
         if cfg.sao:
             from hevc_hop_tpu.ops import sao as saop
             ry, rcb, rcr = saop.rdo_and_apply(
-                (y, cb, cr), (ry, rcb, rcr), maps, cfg.ctb_log2,
+                (org_y[:h], org_cb[:h // 2], org_cr[:h // 2]),
+                (ry, rcb, rcr), maps, cfg.ctb_log2,
                 partition.full_lambda(qp), cfg.bit_depth)
         self._recon_dev = (ry, rcb, rcr)
         self._recon_np = None
@@ -306,9 +326,11 @@ class HoloEncoder:
         maps.sbh = int(cfg.sbh)
         maps.mi_size = cfg.mi_size
         maps.num_ref = 2   # [temporal, SS(last)]
-        maps.coef_y[:] = np.asarray(coef_y[:h], np.int16)
-        maps.coef_cb[:] = np.asarray(coef_cb[:h // 2], np.int16)
-        maps.coef_cr[:] = np.asarray(coef_cr[:h // 2], np.int16)
+        cy_np, ccb_np, ccr_np, outs = self._fetch_all(
+            coef_y, coef_cb, coef_cr, outs, h)
+        maps.coef_y[:] = cy_np
+        maps.coef_cb[:] = ccb_np
+        maps.coef_cr[:] = ccr_np
         self._fill_maps(maps, sizes, scat, outs, pss=True)
 
         ry, rcb, rcr = ry[:h], rcb[:h // 2], rcr[:h // 2]
@@ -321,7 +343,8 @@ class HoloEncoder:
         if cfg.sao:
             from hevc_hop_tpu.ops import sao as saop
             ry, rcb, rcr = saop.rdo_and_apply(
-                (y, cb, cr), (ry, rcb, rcr), maps, cfg.ctb_log2,
+                (org_y[:h], org_cb[:h // 2], org_cr[:h // 2]),
+                (ry, rcb, rcr), maps, cfg.ctb_log2,
                 partition.full_lambda(qp), cfg.bit_depth)
         self._recon_dev = (ry, rcb, rcr)
         self._recon_np = None
@@ -340,10 +363,10 @@ class HoloEncoder:
     @property
     def recon_yuv(self):
         if self._recon_np is None:
-            ry, rcb, rcr = self._recon_dev
-            self._recon_np = (np.asarray(ry, np.int32),
-                              np.asarray(rcb, np.int32),
-                              np.asarray(rcr, np.int32))
+            udt = jnp.uint8 if self.cfg.bit_depth <= 8 else jnp.uint16
+            got = jax.device_get(tuple(p.astype(udt)
+                                       for p in self._recon_dev))
+            self._recon_np = tuple(np.asarray(p, np.int32) for p in got)
         return self._recon_np
 
     def _hash_sei(self) -> bytes:

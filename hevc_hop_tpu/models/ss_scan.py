@@ -98,12 +98,16 @@ def _dyn_rate_map(preds: jnp.ndarray, radius: int, lam: float) -> jnp.ndarray:
 
 
 def build_schedule_ss(blocks, w: int, h: int, ctb_log2: int, radius: int,
-                      mv_rect: np.ndarray | None = None):
+                      mv_rect: np.ndarray | None = None,
+                      pad_steps: int = 32, pad_slots: int = 4):
     """Schedule tensors for ISS encode (radius > 0) or MV-aware decode
     (mv_rect given, radius == 0).
 
     Returns (sizes, data, nsteps); data[log2] has pos/valid/avail/availc as
     build_schedule plus zcur [S, B] int32 (-1 for padding dummies).
+    Steps/slots are quantized to pad buckets so different per-frame
+    quadtrees usually reuse one compiled scan program (advisor round-4:
+    unbounded recompilation per partition).
     """
     from hevc_hop_tpu.entropy import native as _native
     arr = np.array(blocks, np.int32)
@@ -111,6 +115,8 @@ def build_schedule_ss(blocks, w: int, h: int, ctb_log2: int, radius: int,
         arr[:, 0], arr[:, 1], arr[:, 2], w, h, ctb_log2,
         ss_range=(radius + IFM) if radius > 0 else 0, mv_rect=mv_rect)
     nsteps = int(levels.max()) if len(levels) else 0
+    if pad_steps > 1:
+        nsteps = max(pad_steps, -(-nsteps // pad_steps) * pad_steps)
     zplane = wavefront.zaddr4_plane(w, h, ctb_log2)
     czplane = zplane[::2, ::2]
     sizes = tuple(sorted({int(l) for l in arr[:, 2]}))
@@ -124,6 +130,11 @@ def build_schedule_ss(blocks, w: int, h: int, ctb_log2: int, radius: int,
         idx_orig = np.nonzero(sel)[0]
         counts = np.bincount(lv, minlength=nsteps)
         bmax = max(1, int(counts.max()))
+        # SS slots are very expensive (full-search SSE maps per slot):
+        # quantize lightly, scaled down further for big CUs
+        slot_q = max(2, pad_slots >> (log2 - 3))
+        if pad_slots > 1:
+            bmax = max(slot_q, -(-bmax // slot_q) * slot_q)
         pos = np.zeros((nsteps, bmax, 2), np.int32)
         pos[:, :, 1] = h
         valid = np.zeros((nsteps, bmax), bool)
@@ -135,12 +146,14 @@ def build_schedule_ss(blocks, w: int, h: int, ctb_log2: int, radius: int,
             valid[s, slot[s]] = True
             src[s, slot[s]] = idx_orig[j]
             slot[s] += 1
-        flat = pos.reshape(-1, 2).astype(np.int64)
-        avail = wavefront.avail_mask(flat, n, zplane, w, h)
-        avail &= valid.reshape(-1, 1)
-        availc = wavefront.avail_mask(flat // 2, n // 2, czplane,
-                                      w // 2, h // 2)
-        availc &= valid.reshape(-1, 1)
+        flat = pos.reshape(-1, 2)
+        vmf = valid.reshape(-1)
+        fv = flat[vmf]
+        avail = np.zeros((flat.shape[0], 4 * n + 1), bool)
+        avail[vmf] = wavefront.avail_mask(fv, n, zplane, w, h)
+        availc = np.zeros((flat.shape[0], 2 * n + 1), bool)
+        availc[vmf] = wavefront.avail_mask(fv // 2, n // 2, czplane,
+                                           w // 2, h // 2)
         zcur = zplane[np.clip(pos[:, :, 1], 0, h - 1) >> 2,
                       np.clip(pos[:, :, 0], 0, w - 1) >> 2]
         zcur = np.where(valid, zcur, -1).astype(np.int32)
@@ -247,12 +260,15 @@ def _ss_search(recon, org, pos, zcur, zmaxw, rate_map, n, radius, w, h,
     mv = jnp.stack([mvx, mvy], -1)
 
     if zmax2n is None:
-        zero2 = jnp.zeros((b, 2), jnp.int32)
+        zero2 = jnp.zeros((b, 1, 2), jnp.int32)
         return (mv, best, pred, sse_best, zero2,
-                jnp.zeros(b, jnp.float32), jnp.zeros(b, bool))
+                jnp.zeros((b, 1), jnp.float32), jnp.zeros((b, 1), bool))
 
-    # GT anchor: best displacement whose full 2n window (+2 px chroma
-    # slack) is causal and in-frame
+    # GT anchor ring: the K best displacements whose full 2n window
+    # (+2 px chroma slack) is causal and in-frame — the anchor set of
+    # xPatternSearchGT (ssBestCand ring + predictors,
+    # TEncSearch.cpp:5093-5141); the caller may append AMVP-predictor
+    # anchors via ss_anchor_ok
     wyy = ty - n // 2
     wxx = tx - n // 2
     inb2 = ((wxx >= 2) & (wyy >= 2)
@@ -260,14 +276,25 @@ def _ss_search(recon, org, pos, zcur, zmaxw, rate_map, n, radius, w, h,
     zm2 = zmax2n[jnp.clip(wyy, 0, h - 2 * n), jnp.clip(wxx, 0, w - 2 * n)]
     mask2 = inb2 & (zm2 < zcur[:, None, None])
     cost2 = jnp.where(mask2, sse + rate_map, big).reshape(b, -1)
-    idx2 = jnp.argmin(cost2, axis=1)
-    gt_any = jnp.any(mask2, axis=(1, 2))
-    gt_rate = jnp.take_along_axis(rate_map.reshape(b, -1),
-                                  idx2[:, None], 1)[:, 0]
+    k = 2
+    negc, idx2 = jax.lax.top_k(-cost2, k)          # [B, K]
+    gt_ok = (-negc) < jnp.float32(1e37)
+    gt_rate = jnp.take_along_axis(rate_map.reshape(b, -1), idx2, 1)
     amvy = (idx2 // d).astype(jnp.int32) - radius
     amvx = (idx2 % d).astype(jnp.int32) - radius
-    anchor = jnp.stack([amvx, amvy], -1)
-    return mv, best, pred, sse_best, anchor, gt_rate, gt_any
+    anchors = jnp.stack([amvx, amvy], -1)          # [B, K, 2]
+    return mv, best, pred, sse_best, anchors, gt_rate, gt_ok
+
+
+def ss_anchor_ok(pos, zcur, zmax2n, disp, n, w, h):
+    """Causal 2n-window validity of an arbitrary full-pel displacement
+    [B, 2] (the AMVP-predictor anchor channel)."""
+    wxx = pos[:, 0] + disp[:, 0] - n // 2
+    wyy = pos[:, 1] + disp[:, 1] - n // 2
+    inb2 = ((wxx >= 2) & (wyy >= 2)
+            & (wxx + 2 * n + 2 <= w) & (wyy + 2 * n + 2 <= h))
+    zm2 = zmax2n[jnp.clip(wyy, 0, h - 2 * n), jnp.clip(wxx, 0, w - 2 * n)]
+    return inb2 & (zm2 < zcur)
 
 
 def _t_search(refp, org, pos, rate_map, n, radius, w, h):
@@ -534,10 +561,12 @@ def gt_chroma_safe(plane, cpos, mv_px, gtc, m, h_clip, bit_depth):
 
 
 def _gt_bits(gtc: jnp.ndarray) -> jnp.ndarray:
-    """Rate proxy for 3 coded corner vectors (code_gt golomb-ish)."""
-    v = jnp.abs(gtc.astype(jnp.float32))
-    return jnp.sum(1.0 + 2.0 * jnp.ceil(jnp.log2(v + 1.0)),
-                   axis=(-2, -1))
+    """EXACT bin count of code_gt's 3 coded corner vectors: per component
+    greater0 + greater1 + EG1(|v|-2) + sign — the same binarization as
+    codeMvd (TEncSbac.cpp:1051 codeGT / native cabac.cpp code_gt), so the
+    tournament charges what the serializer will write (getBitsGT analog,
+    TComRdCost.h:205-213)."""
+    return jnp.sum(_mvd_bits(gtc), axis=(-2, -1))
 
 
 def _gt_search(recon, org, pos, mv, n, lam, h, bit_depth, iters: int = 6):
@@ -601,6 +630,44 @@ def _gt_search(recon, org, pos, mv, n, lam, h, bit_depth, iters: int = 6):
     return gtc, best_pred, best_cost
 
 
+
+def _gt_arm(ry, org, pos, zcur, zmax2n_l, anchors, gt_rate, gt_ok, p_ss,
+            n, lam, w, h, bit_depth):
+    """Multi-anchor GT refinement (the anchor ring of xPatternSearchGT,
+    TEncSearch.cpp:5093-5141): corner-search every causally-valid anchor —
+    the K best SS displacements plus the best AMVP predictor — and keep
+    the RD-best result. Returns (gcost [B] incl corner+MVD+flag rate,
+    gtc [B,3,2], gpred [B,n,n], amv [B,2] full-pel, ok_any [B])."""
+    b = pos.shape[0]
+    pr = p_ss[:, 0]
+    valid_p = jnp.all(jnp.abs(pr) < _HUGE_PRED // 2, axis=-1)
+    prd = jnp.where(valid_p[:, None], (pr + 2) >> 2, 0)
+    ok_p = ss_anchor_ok(pos, zcur, zmax2n_l, prd, n, w, h) & valid_p
+    rate_p = lam * (INTER_BITS
+                    + _min_rate_bits((prd * 4)[:, None], p_ss)[:, 0])
+    # drop the predictor anchor when it duplicates an SS anchor
+    dup = jnp.any(jnp.all(anchors == prd[:, None], axis=-1) & gt_ok, axis=1)
+    ok_p = ok_p & ~dup
+    anchors = jnp.concatenate([anchors, prd[:, None]], 1)    # [B, A, 2]
+    gt_rate = jnp.concatenate([gt_rate, rate_p[:, None]], 1)
+    gt_ok = jnp.concatenate([gt_ok, ok_p[:, None]], 1)
+    a = anchors.shape[1]
+    pos_r = jnp.repeat(pos, a, 0)
+    org_r = jnp.repeat(org, a, 0)
+    gtc_a, gpred_a, gcost_a = _gt_search(
+        ry, org_r, pos_r, anchors.reshape(-1, 2), n, lam, h, bit_depth)
+    gcost_a = gcost_a.reshape(b, a) + gt_rate + lam   # + gt_flag bin
+    gcost_a = jnp.where(gt_ok, gcost_a, jnp.float32(3e38))
+    ai = jnp.argmin(gcost_a, 1)
+    gcost = jnp.take_along_axis(gcost_a, ai[:, None], 1)[:, 0]
+    amv = jnp.take_along_axis(anchors, ai[:, None, None], 1)[:, 0]
+    gtc = jnp.take_along_axis(gtc_a.reshape(b, a, 3, 2),
+                              ai[:, None, None, None], 1)[:, 0]
+    gpred = jnp.take_along_axis(gpred_a.reshape(b, a, n, n),
+                                ai[:, None, None, None], 1)[:, 0]
+    return gcost, gtc, gpred, amv, jnp.any(gt_ok, 1)
+
+
 def _tqr(org, pred, n, qp, bit_depth, rdoq_cfg=None, scan_id=None,
          c_idx=0, sbh=False):
     """Transform/quant/dequant/inv-transform/recon for one batch.
@@ -624,7 +691,8 @@ def _tqr(org, pred, n, qp, bit_depth, rdoq_cfg=None, scan_id=None,
                               bit_depth=bit_depth, c_idx=c_idx,
                               init_type=init_type, lam=lam)
     if sbh:
-        lev = quant.sbh_adjust(lev, scan_id, c_idx, coef, qp, bit_depth)
+        lev = quant.sbh_adjust(lev, scan_id, c_idx, coef, qp, bit_depth,
+                               lam=rdoq_cfg[1] if rdoq_cfg else 0.0)
     deq = quant.dequant(lev, qp, log2, bit_depth)
     rq = transform.inv_transform(deq, bit_depth, use_dst)
     rec = jnp.clip(pred + rq, 0, (1 << bit_depth) - 1)
@@ -692,8 +760,8 @@ def scan_encode_iss(org_y, org_cb, org_cr, xs, zmaxw, zmax2n,
                 mvx4, mvy4, pi4, rf4, pos, nbav, miav, n, mi_size, 0)
             rate_map = _dyn_rate_map(p_ss, radius, lam)
 
-            # SS candidate (+ GT anchor: best MV with a fully-causal window)
-            mv_i, _, sspred0, sssse0, anchor, gtrate, gtok = _ss_search(
+            # SS candidate (+ GT anchor ring: K best fully-causal MVs)
+            mv_i, _, sspred0, sssse0, anchors, gtrate, gtok = _ss_search(
                 ry, org, pos, zcur, zmaxw[log2], rate_map,
                 n, radius, w, h, zmax2n[log2] if gt else None)
             mvq, sspred, _, sscost = _frac_refine(
@@ -705,29 +773,30 @@ def scan_encode_iss(org_y, org_cb, org_cr, xs, zmaxw, zmax2n,
                 ry, None, of, pos, zcur, zmaxw[log2], cands, cref, cvalid,
                 0, n, w, h, bit_depth, lam)
 
-            # GT refinement around the anchor
+            # GT refinement over the anchor ring (SS best-K + predictor)
             if gt:
-                gtc, gpred, gsse = _gt_search(
-                    ry, org, pos, anchor, n, lam, h, bit_depth)
-                gcost = gsse + gtrate + lam
+                gcost, gtc, gpred, amv, gok = _gt_arm(
+                    ry, org, pos, zcur, zmax2n[log2], anchors, gtrate,
+                    gtok, p_ss, n, lam, w, h, bit_depth)
                 nonzero = jnp.any(gtc != 0, axis=(1, 2))
                 cpos_g = pos // 2
                 cpos_g = cpos_g.at[:, 1].set(
                     jnp.where(pos[:, 1] >= h, h // 2, cpos_g[:, 1]))
-                csafe = (gt_chroma_safe(rcb, cpos_g, anchor, gtc, n // 2,
+                csafe = (gt_chroma_safe(rcb, cpos_g, amv, gtc, n // 2,
                                         h // 2, bit_depth)
-                         & gt_chroma_safe(rcr, cpos_g, anchor, gtc, n // 2,
+                         & gt_chroma_safe(rcr, cpos_g, amv, gtc, n // 2,
                                           h // 2, bit_depth))
-                gtflag = (gtok & nonzero & csafe & (gcost < sscost)
+                gtflag = (gok & nonzero & csafe & (gcost < sscost)
                           & (gcost < icost) & (gcost < mcost))
             else:
                 gtc = jnp.zeros(pos.shape[:1] + (3, 2), jnp.int32)
                 gpred = sspred
+                amv = jnp.zeros(pos.shape[:1] + (2,), jnp.int32)
                 gtflag = jnp.zeros(pos.shape[:1], bool)
 
             merge_win = (~gtflag) & (mcost < sscost) & (mcost < icost)
             inter = gtflag | merge_win | (sscost < icost)
-            mv = jnp.where(gtflag[:, None], anchor * 4,
+            mv = jnp.where(gtflag[:, None], amv * 4,
                            jnp.where(merge_win[:, None], mmv, mvq))
             pred = jnp.where(
                 gtflag[:, None, None], gpred,
@@ -845,7 +914,7 @@ def scan_encode_pss(org_y, org_cb, org_cr, ref_y, ref_cb, ref_cr,
             srate_map = _dyn_rate_map(p_ss, radius, lam)
             trate_map = _dyn_rate_map(p_t, radius_t, lam)
 
-            mv_si, _, sspred0, sssse0, anchor, gtrate, gtok = _ss_search(
+            mv_si, _, sspred0, sssse0, anchors, gtrate, gtok = _ss_search(
                 ry, org, pos, zcur, zmaxw[log2], srate_map,
                 n, radius, w, h, zmax2n[log2] if gt else None)
             mv_sq, sspred, _, sscost = _frac_refine(
@@ -862,23 +931,24 @@ def scan_encode_pss(org_y, org_cb, org_cr, ref_y, ref_cb, ref_cr,
                 SS_REF, n, w, h, bit_depth, lam)
 
             if gt:
-                gtc, gpred, gsse = _gt_search(
-                    ry, org, pos, anchor, n, lam, h, bit_depth)
-                gcost = gsse + gtrate + lam
+                gcost, gtc, gpred, amv, gok = _gt_arm(
+                    ry, org, pos, zcur, zmax2n[log2], anchors, gtrate,
+                    gtok, p_ss, n, lam, w, h, bit_depth)
                 nonzero = jnp.any(gtc != 0, axis=(1, 2))
                 cpos_g = pos // 2
                 cpos_g = cpos_g.at[:, 1].set(
                     jnp.where(pos[:, 1] >= h, h // 2, cpos_g[:, 1]))
-                csafe = (gt_chroma_safe(rcb, cpos_g, anchor, gtc, n // 2,
+                csafe = (gt_chroma_safe(rcb, cpos_g, amv, gtc, n // 2,
                                         h // 2, bit_depth)
-                         & gt_chroma_safe(rcr, cpos_g, anchor, gtc, n // 2,
+                         & gt_chroma_safe(rcr, cpos_g, amv, gtc, n // 2,
                                           h // 2, bit_depth))
-                gtflag = (gtok & nonzero & csafe & (gcost < sscost)
+                gtflag = (gok & nonzero & csafe & (gcost < sscost)
                           & (gcost < icost) & (gcost < tcost)
                           & (gcost < mcost))
             else:
                 gtc = jnp.zeros(pos.shape[:1] + (3, 2), jnp.int32)
                 gpred = sspred
+                amv = jnp.zeros(pos.shape[:1] + (2,), jnp.int32)
                 gtflag = jnp.zeros(pos.shape[:1], bool)
 
             ss_beats_t = sscost < tcost
@@ -887,7 +957,7 @@ def scan_encode_pss(org_y, org_cb, org_cr, ref_y, ref_cb, ref_cr,
             amvp_win = (~gtflag) & (~merge_win) & (intercost < icost)
             inter = gtflag | merge_win | amvp_win
             mv = jnp.where(
-                gtflag[:, None], anchor * 4,
+                gtflag[:, None], amv * 4,
                 jnp.where(merge_win[:, None], mmv,
                           jnp.where(ss_beats_t[:, None], mv_sq, mv_tq)))
             refsel = jnp.where(
@@ -982,9 +1052,8 @@ def scan_decode_ss(resi_y, resi_cb, resi_cr, xs, sizes: tuple,
             gtc = gtv.reshape(gtv.shape[0], 3, 2)
             chains = intra.substitute_refs(_gather_chains(ry, pos, n),
                                            avail, bit_depth)
-            preds = intra.predict_all_modes(chains, n, 0, bit_depth, strong)
-            ipred = jnp.take_along_axis(
-                preds, modes[:, None, None, None], axis=1)[:, 0]
+            ipred = intra.predict_mode(chains, modes, n, 0, bit_depth,
+                                       strong)
             mcp = interp.luma_mc(ry, pos, mvq, n, h, bit_depth)
             mvpx = mvq >> 2
             gtp = gt_pred_luma(ry, pos, mvpx, gtc, n, h, bit_depth)
@@ -1004,9 +1073,7 @@ def scan_decode_ss(resi_y, resi_cb, resi_cr, xs, sizes: tuple,
             def chroma_plane(rc, resip):
                 ch = intra.substitute_refs(_gather_chains(rc, cpos, m),
                                            availc, bit_depth)
-                cpreds = intra.predict_all_modes(ch, m, 1, bit_depth, strong)
-                cip = jnp.take_along_axis(
-                    cpreds, cmodes[:, None, None, None], axis=1)[:, 0]
+                cip = intra.predict_mode(ch, cmodes, m, 1, bit_depth, strong)
                 cmc = interp.chroma_mc_q(rc, cpos, mvq, m, h // 2, bit_depth)
                 cgt = gt_pred_chroma(rc, cpos, mvpx, gtc, m, h // 2,
                                      bit_depth)
@@ -1048,9 +1115,8 @@ def scan_decode_pss(resi_y, resi_cb, resi_cr, ref_y, ref_cb, ref_cr,
             gtc = gtv.reshape(gtv.shape[0], 3, 2)
             chains = intra.substitute_refs(_gather_chains(ry, pos, n),
                                            avail, bit_depth)
-            preds = intra.predict_all_modes(chains, n, 0, bit_depth, strong)
-            ipred = jnp.take_along_axis(
-                preds, modes[:, None, None, None], axis=1)[:, 0]
+            ipred = intra.predict_mode(chains, modes, n, 0, bit_depth,
+                                       strong)
             ssp = interp.luma_mc(ry, pos, mvq, n, h, bit_depth)
             tp = interp.luma_mc(ref_y, pos, mvq, n, h, bit_depth)
             mvpx = mvq >> 2
@@ -1072,9 +1138,7 @@ def scan_decode_pss(resi_y, resi_cb, resi_cr, ref_y, ref_cb, ref_cr,
             def chroma_plane(rc, refc, resip):
                 ch = intra.substitute_refs(_gather_chains(rc, cpos, m),
                                            availc, bit_depth)
-                cpreds = intra.predict_all_modes(ch, m, 1, bit_depth, strong)
-                cip = jnp.take_along_axis(
-                    cpreds, cmodes[:, None, None, None], axis=1)[:, 0]
+                cip = intra.predict_mode(ch, cmodes, m, 1, bit_depth, strong)
                 css = interp.chroma_mc_q(rc, cpos, mvq, m, h // 2, bit_depth)
                 ct = interp.chroma_mc_q(refc, cpos, mvq, m, h // 2,
                                         bit_depth)

@@ -12,6 +12,8 @@ z-address plane.
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 
@@ -19,6 +21,7 @@ import numpy as np
 # Frame structure: leaves, z-addresses, wave schedule (host-side, static).
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=16)
 def zaddr4_plane(w: int, h: int, ctb_log2: int) -> np.ndarray:
     """z-scan order index per 4x4 unit (global across CTUs, raster CTUs)."""
     u4w, u4h = w // 4, h // 4
@@ -67,8 +70,9 @@ def leaves_from_depth(depth8: np.ndarray, w: int, h: int,
 def chain_coords(pos: np.ndarray, n: int) -> np.ndarray:
     """[B,2] block positions -> [B, 4n+1, 2] (x, y) chain sample coords."""
     b = pos.shape[0]
-    coords = np.zeros((b, 4 * n + 1, 2), np.int64)
-    i = np.arange(2 * n)
+    coords = np.zeros((b, 4 * n + 1, 2), np.int32)
+    i = np.arange(2 * n, dtype=np.int32)
+    pos = pos.astype(np.int32)
     coords[:, :2 * n, 0] = pos[:, 0:1] - 1                    # left col x
     coords[:, :2 * n, 1] = pos[:, 1:2] + 2 * n - 1 - i[None]  # bottom-up
     coords[:, 2 * n, 0] = pos[:, 0] - 1                       # corner

@@ -36,22 +36,32 @@ def _mdcs_scan_id(modes: jnp.ndarray, n: int, c_idx: int) -> jnp.ndarray:
                      ).astype(jnp.int32)
 
 
-def build_schedule(blocks, w: int, h: int, ctb_log2: int):
+def build_schedule(blocks, w: int, h: int, ctb_log2: int,
+                   pad_steps: int = 64, pad_slots: int = 16,
+                   force_sizes: tuple | None = None):
     """Schedule tensors for an arbitrary TU-leaf structure (z-order list).
 
     Returns (sizes, data) where sizes is a sorted tuple of block log2s and
     data[log2] = dict(pos [S,B,2], avail [S,B,L], availc [S,B,Lc],
     valid [S,B]) with S = number of levels (shared across sizes; dummies
     point at the (0, h) scratch row).
+
+    The step count and per-step slot count are quantized to pad_steps /
+    pad_slots buckets (and force_sizes can pin the size tuple) so that
+    DIFFERENT frame partitions usually land on the SAME array shapes and
+    reuse one compiled XLA program instead of recompiling per quadtree.
     """
     from hevc_hop_tpu.entropy import native as _native
     arr = np.array(blocks, np.int32)
     levels = _native.wavefront_levels(arr[:, 0], arr[:, 1], arr[:, 2],
                                       w, h, ctb_log2)
     nsteps = int(levels.max()) if len(levels) else 0
+    if pad_steps > 1:
+        nsteps = max(pad_steps, -(-nsteps // pad_steps) * pad_steps)
     zplane = wavefront.zaddr4_plane(w, h, ctb_log2)
     czplane = zplane[::2, ::2]
-    sizes = tuple(sorted({int(l) for l in arr[:, 2]}))
+    sizes = (tuple(force_sizes) if force_sizes is not None
+             else tuple(sorted({int(l) for l in arr[:, 2]})))
     data = {}
     for log2 in sizes:
         n = 1 << log2
@@ -59,7 +69,12 @@ def build_schedule(blocks, w: int, h: int, ctb_log2: int):
         lv = levels[sel] - 1
         pts = arr[sel][:, :2]
         counts = np.bincount(lv, minlength=nsteps)
-        bmax = int(counts.max())
+        bmax = max(1, int(counts.max()) if len(lv) else 0)
+        # per-size quantum: a 32x32 slot costs 16x an 8x8 slot, so big
+        # blocks use a finer bucket (same shape-reuse goal, less padding)
+        slot_q = max(2, pad_slots >> (log2 - 3))
+        if pad_slots > 1:
+            bmax = max(slot_q, -(-bmax // slot_q) * slot_q)
         pos = np.zeros((nsteps, bmax, 2), np.int32)
         pos[:, :, 1] = h
         valid = np.zeros((nsteps, bmax), bool)
@@ -70,12 +85,15 @@ def build_schedule(blocks, w: int, h: int, ctb_log2: int):
             pos[s, slot[s]] = pts[i]
             valid[s, slot[s]] = True
             slot[s] += 1
-        flat = pos.reshape(-1, 2).astype(np.int64)
-        avail = wavefront.avail_mask(flat, n, zplane, w, h)
-        avail &= valid.reshape(-1, 1)
-        availc = wavefront.avail_mask(flat // 2, n // 2, czplane,
-                                      w // 2, h // 2)
-        availc &= valid.reshape(-1, 1)
+        # availability only for real slots (dummies stay all-False)
+        flat = pos.reshape(-1, 2)
+        vmf = valid.reshape(-1)
+        fv = flat[vmf]
+        avail = np.zeros((flat.shape[0], 4 * n + 1), bool)
+        avail[vmf] = wavefront.avail_mask(fv, n, zplane, w, h)
+        availc = np.zeros((flat.shape[0], 2 * n + 1), bool)
+        availc[vmf] = wavefront.avail_mask(fv // 2, n // 2, czplane,
+                                           w // 2, h // 2)
         data[log2] = dict(
             pos=pos, valid=valid,
             avail=avail.reshape(nsteps, bmax, 4 * n + 1),
@@ -127,21 +145,28 @@ def _enc_plane(recon, coefp, orgp, pos, avail, modes, n, qp, c_idx,
 
 
 def _enc_plane_ys(recon, orgp, pos, avail, modes, n, qp, c_idx,
-                  bit_depth, strong, rdoq_cfg=None, sbh=False):
+                  bit_depth, strong, rdoq_cfg=None, sbh=False, rmd=True):
     """Like _enc_plane but returns the level block instead of scattering it
     into a dense coefficient plane (coef assembly happens once post-scan).
     rdoq_cfg: None for the plain dead-zone quantizer, or (init_type, lam)
-    to run RDOQ level decisions (ops/rdoq.py)."""
+    to run RDOQ level decisions (ops/rdoq.py). rmd=False promises every
+    mode is already decided (modes >= 0) and skips the 35-mode SATD sweep
+    (single-mode predict, TComPrediction.cpp predIntraLumaAng analog)."""
     log2 = n.bit_length() - 1
     chains = _gather_chains(recon, pos, n)
     chains = intra.substitute_refs(chains, avail, bit_depth)
-    preds = intra.predict_all_modes(chains, n, c_idx, bit_depth, strong)
     rows, cols = _block_idx(pos, n)
     org = orgp[rows, cols].astype(jnp.int32)
-    costs = intra.satd(org[:, None], preds)
-    best = jnp.argmin(costs, axis=1).astype(jnp.int32)
-    best = jnp.where(modes >= 0, modes, best)
-    pred = jnp.take_along_axis(preds, best[:, None, None, None], axis=1)[:, 0]
+    if rmd:
+        preds = intra.predict_all_modes(chains, n, c_idx, bit_depth, strong)
+        costs = intra.satd(org[:, None], preds)
+        best = jnp.argmin(costs, axis=1).astype(jnp.int32)
+        best = jnp.where(modes >= 0, modes, best)
+        pred = jnp.take_along_axis(preds, best[:, None, None, None],
+                                   axis=1)[:, 0]
+    else:
+        best = modes
+        pred = intra.predict_mode(chains, best, n, c_idx, bit_depth, strong)
     resi = org - pred
     use_dst = (n == 4 and c_idx == 0)
     coef = transform.fwd_transform(resi, bit_depth, use_dst)
@@ -155,7 +180,8 @@ def _enc_plane_ys(recon, orgp, pos, avail, modes, n, qp, c_idx,
                               init_type=init_type, lam=lam)
     if sbh:
         lev = quant.sbh_adjust(lev, scan_id, min(c_idx, 1), coef, qp,
-                               bit_depth)
+                               bit_depth,
+                               lam=rdoq_cfg[1] if rdoq_cfg else 0.0)
     deq = quant.dequant(lev, qp, log2, bit_depth)
     rq = transform.inv_transform(deq, bit_depth, use_dst)
     rec = jnp.clip(pred + rq, 0, (1 << bit_depth) - 1)
@@ -167,11 +193,11 @@ def _enc_plane_ys(recon, orgp, pos, avail, modes, n, qp, c_idx,
 @functools.partial(jax.jit, static_argnames=("sizes", "qp", "qp_c",
                                              "bit_depth", "strong", "h",
                                              "hc_off", "use_rdoq",
-                                             "init_type", "sbh"))
+                                             "init_type", "sbh", "rmd"))
 def scan_encode(org_y, org_c, xs, sizes: tuple, qp: int, qp_c: int,
                 bit_depth: int, strong: bool, h: int, hc_off: int,
                 use_rdoq: bool = False, init_type: int = 2,
-                sbh: bool = False):
+                sbh: bool = False, rmd: bool = True):
     """Single-program multi-size intra encode, transfer-lean flavor.
 
     org_y: [h+pad, w]; org_c: [2*hc_off, w//2] with cb rows [0, h//2) and cr
@@ -201,7 +227,7 @@ def scan_encode(org_y, org_c, xs, sizes: tuple, qp: int, qp_c: int,
             p, al, ac, m = x[log2]
             ry, lev_y, best, cbf = _enc_plane_ys(
                 ry, org_y, p, al, m, n, qp, 0, bit_depth, strong, rcfg_y,
-                sbh)
+                sbh, rmd=rmd)
             pc = p // 2
             pc = pc.at[:, 1].set(jnp.where(p[:, 1] >= h, hc, pc[:, 1]))
             pcc = jnp.concatenate(
@@ -210,7 +236,7 @@ def scan_encode(org_y, org_c, xs, sizes: tuple, qp: int, qp_c: int,
             mc = jnp.concatenate([best, best], 0)
             rc, lev_c, _, cbf_c = _enc_plane_ys(
                 rc, org_c, pcc, acc, mc, n // 2, qp_c, 1, bit_depth, strong,
-                rcfg_c, sbh)
+                rcfg_c, sbh, rmd=False)
             ys[log2] = (lev_y, lev_c, best, cbf, cbf_c)
         return (ry, rc), ys
 
@@ -259,9 +285,7 @@ def scan_decode(resi_y, resi_cb, resi_cr, xs, sizes: tuple, bit_depth: int,
     def dec_plane(recon, resip, p, al, m, nn, c_idx):
         chains = _gather_chains(recon, p, nn)
         chains = intra.substitute_refs(chains, al, bit_depth)
-        preds = intra.predict_all_modes(chains, nn, c_idx, bit_depth, strong)
-        pred = jnp.take_along_axis(preds, m[:, None, None, None],
-                                   axis=1)[:, 0]
+        pred = intra.predict_mode(chains, m, nn, c_idx, bit_depth, strong)
         rows, cols = _block_idx(p, nn)
         rec = jnp.clip(pred + resip[rows, cols], 0, (1 << bit_depth) - 1)
         return recon.at[rows, cols].set(rec)

@@ -11,8 +11,10 @@
 //
 // Build: make -C hevc_hop_tpu/native   -> libhevc_hop.so (ctypes)
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 #include "gen/cabac_tables.h"
@@ -1359,6 +1361,83 @@ struct SliceEncoder {
       }
     return (int64_t)out->size();
   }
+
+  // WPP (entropy_coding_sync_enabled_flag, H.265 7.3.8.1): one substream
+  // per CTU row; each row's contexts start from the snapshot taken after
+  // the 2nd CTU of the row above (TEncSlice.cpp:1158-1160 analog). Rows
+  // are coded by worker threads pipelined on the snapshot + the 2-CTU
+  // skip-map lag (the encoder writes skip8 as it walks).
+  int64_t run_wpp(std::vector<uint8_t>* out, const uint8_t* init_ctx,
+                  int64_t* sub_sizes, int nthreads) {
+    int ctb = 1 << m.ctb_log2;
+    int nx = (m.pic_w + ctb - 1) >> m.ctb_log2;
+    int ny = (m.pic_h + ctb - 1) >> m.ctb_log2;
+    int sync_col = nx > 1 ? 1 : 0;
+    std::vector<std::vector<uint8_t>> bufs(ny), snap(ny);
+    std::vector<std::atomic<int>> prog(ny);
+    std::vector<std::atomic<int>> snap_ready(ny);
+    for (int i = 0; i < ny; i++) {
+      prog[i].store(0);
+      snap_ready[i].store(0);
+    }
+
+    auto encode_row = [&](int cy) {
+      SliceEncoder rse;
+      rse.m = m;
+      rse.e.out = &bufs[cy];
+      std::vector<uint8_t> ctxv;
+      if (cy == 0) {
+        ctxv.assign(init_ctx, init_ctx + NUM_CTX);
+      } else {
+        while (!snap_ready[cy - 1].load(std::memory_order_acquire))
+          std::this_thread::yield();
+        ctxv = snap[cy - 1];
+      }
+      rse.ctx = ctxv.data();
+      for (int cx = 0; cx < nx; cx++) {
+        if (cy > 0) {
+          int need = cx + 2 < nx ? cx + 2 : nx;
+          while (prog[cy - 1].load(std::memory_order_acquire) < need)
+            std::this_thread::yield();
+        }
+        if (m.sao_on) rse.code_sao(cx, cy, nx);
+        rse.quad(cx << m.ctb_log2, cy << m.ctb_log2, m.ctb_log2);
+        bool last = (cy == ny - 1) && (cx == nx - 1);
+        rse.e.terminate(last);
+        if (cx == sync_col && cy + 1 < ny) {
+          snap[cy] = ctxv;
+          snap_ready[cy].store(1, std::memory_order_release);
+        }
+        prog[cy].store(cx + 1, std::memory_order_release);
+        if (last) {
+          rse.e.finish();
+          rse.e.byte_align_with_stop_bit();
+        }
+      }
+      if (cy != ny - 1) {
+        rse.e.terminate(1);   // end_of_subset_one_bit
+        rse.e.finish();
+        rse.e.byte_align_with_stop_bit();
+      }
+    };
+
+    if (nthreads <= 1 || ny <= 1) {
+      for (int cy = 0; cy < ny; cy++) encode_row(cy);
+    } else {
+      int nt = nthreads < ny ? nthreads : ny;
+      std::vector<std::thread> ts;
+      for (int t = 0; t < nt; t++)
+        ts.emplace_back([&, t] {
+          for (int cy = t; cy < ny; cy += nt) encode_row(cy);
+        });
+      for (auto& th : ts) th.join();
+    }
+    for (int cy = 0; cy < ny; cy++) {
+      sub_sizes[cy] = (int64_t)bufs[cy].size();
+      out->insert(out->end(), bufs[cy].begin(), bufs[cy].end());
+    }
+    return (int64_t)out->size();
+  }
 };
 
 // ===========================================================================
@@ -1777,6 +1856,91 @@ struct SliceDecoder {
       }
     return d.pos;
   }
+
+  // WPP decode: one substream per CTU row (entry-point sizes from the
+  // slice header), contexts inherited from the snapshot after the 2nd CTU
+  // of the row above; rows parsed by pipelined worker threads with the
+  // standard 2-CTU lag (above-right dependency, TDecSlice.cpp:262,371).
+  int64_t run_wpp(const uint8_t* data_all, int64_t total_size,
+                  const uint8_t* init_ctx, const int64_t* sub_sizes,
+                  int nsub, int nthreads) {
+    int ctb = 1 << m.ctb_log2;
+    int nx = (m.pic_w + ctb - 1) >> m.ctb_log2;
+    int ny = (m.pic_h + ctb - 1) >> m.ctb_log2;
+    if (nsub != ny) return -1;
+    int sync_col = nx > 1 ? 1 : 0;
+    std::vector<int64_t> offs(ny + 1, 0);
+    for (int i = 0; i < ny; i++) offs[i + 1] = offs[i] + sub_sizes[i];
+    if (offs[ny] > total_size) return -1;
+    std::vector<std::vector<uint8_t>> snap(ny);
+    std::vector<std::atomic<int>> prog(ny);
+    std::vector<std::atomic<int>> snap_ready(ny);
+    std::atomic<int> fail(0);
+    for (int i = 0; i < ny; i++) {
+      prog[i].store(0);
+      snap_ready[i].store(0);
+    }
+
+    auto decode_row = [&](int cy) {
+      SliceDecoder rsd;
+      rsd.m = m;
+      rsd.d.data = data_all + offs[cy];
+      rsd.d.size = sub_sizes[cy];
+      std::vector<uint8_t> ctxv;
+      if (cy == 0) {
+        ctxv.assign(init_ctx, init_ctx + NUM_CTX);
+      } else {
+        while (!snap_ready[cy - 1].load(std::memory_order_acquire)) {
+          if (fail.load(std::memory_order_relaxed)) return;
+          std::this_thread::yield();
+        }
+        ctxv = snap[cy - 1];
+      }
+      rsd.ctx = ctxv.data();
+      rsd.d.start();
+      for (int cx = 0; cx < nx; cx++) {
+        if (cy > 0) {
+          int need = cx + 2 < nx ? cx + 2 : nx;
+          while (prog[cy - 1].load(std::memory_order_acquire) < need) {
+            if (fail.load(std::memory_order_relaxed)) return;
+            std::this_thread::yield();
+          }
+        }
+        if (m.sao_on) rsd.dec_sao(cx, cy, nx);
+        rsd.quad(cx << m.ctb_log2, cy << m.ctb_log2, m.ctb_log2);
+        int end = rsd.d.terminate();
+        bool last = (cy == ny - 1) && (cx == nx - 1);
+        if (end != (last ? 1 : 0)) {
+          fail.store(1, std::memory_order_relaxed);
+          snap_ready[cy].store(1, std::memory_order_release);
+          return;
+        }
+        if (cx == sync_col && cy + 1 < ny) {
+          snap[cy] = ctxv;
+          snap_ready[cy].store(1, std::memory_order_release);
+        }
+        prog[cy].store(cx + 1, std::memory_order_release);
+      }
+      if (cy != ny - 1 && rsd.d.terminate() != 1)  // end_of_subset_one_bit
+        fail.store(1, std::memory_order_relaxed);
+    };
+
+    if (nthreads <= 1 || ny <= 1) {
+      for (int cy = 0; cy < ny && !fail.load(); cy++) decode_row(cy);
+    } else {
+      int nt = nthreads < ny ? nthreads : ny;
+      std::vector<std::thread> ts;
+      for (int t = 0; t < nt; t++)
+        ts.emplace_back([&, t] {
+          for (int cy = t; cy < ny; cy += nt) {
+            if (fail.load(std::memory_order_relaxed)) return;
+            decode_row(cy);
+          }
+        });
+      for (auto& th : ts) th.join();
+    }
+    return fail.load() ? -1 : offs[ny];
+  }
 };
 
 static void fill_maps(FrameMaps& m, int pic_w, int pic_h, int ctb_log2,
@@ -1856,6 +2020,58 @@ int64_t hevc_encode_slice_data(
   if (n > cap) return -1;
   memcpy(out, buf.data(), (size_t)n);
   return n;
+}
+
+// WPP variants: same maps interface; sub_sizes[n_ctu_y] carries the
+// per-CTU-row substream byte sizes (encoder out / decoder in).
+int64_t hevc_encode_slice_data_wpp(
+    const uint8_t* ctx_states, int pic_w, int pic_h, int ctb_log2,
+    int max_hier_depth,
+    const uint8_t* depth8, const uint8_t* part8, const uint8_t* mode4,
+    const uint8_t* cmode8, const uint8_t* tu4, const uint8_t* cbf4_y,
+    const uint8_t* cbf8_cb, const uint8_t* cbf8_cr, const int16_t* coef_y,
+    const int16_t* coef_cb, const int16_t* coef_cr,
+    int sao_on, uint8_t* sao_merge, uint8_t* sao_type, int16_t* sao_off,
+    uint8_t* sao_band, uint8_t* out, int64_t cap, int64_t* sub_sizes,
+    int nthreads) {
+  SliceEncoder se;
+  fill_maps(se.m, pic_w, pic_h, ctb_log2, max_hier_depth,
+            (uint8_t*)depth8, (uint8_t*)part8,
+            (uint8_t*)mode4, (uint8_t*)cmode8, (uint8_t*)tu4,
+            (uint8_t*)cbf4_y,
+            (uint8_t*)cbf8_cb, (uint8_t*)cbf8_cr, (int16_t*)coef_y,
+            (int16_t*)coef_cb, (int16_t*)coef_cr);
+  se.m.sao_on = sao_on;
+  se.m.sao_merge = sao_merge;
+  se.m.sao_type = sao_type;
+  se.m.sao_off = sao_off;
+  se.m.sao_band = sao_band;
+  std::vector<uint8_t> buf;
+  int64_t n = se.run_wpp(&buf, ctx_states, sub_sizes, nthreads);
+  if (n > cap) return -1;
+  memcpy(out, buf.data(), (size_t)n);
+  return n;
+}
+
+int64_t hevc_decode_slice_data_wpp(
+    const uint8_t* ctx_states, int pic_w, int pic_h, int ctb_log2,
+    int max_hier_depth,
+    const uint8_t* data, int64_t size, uint8_t* depth8, uint8_t* part8,
+    uint8_t* mode4, uint8_t* cmode8, uint8_t* tu4, uint8_t* cbf4_y,
+    uint8_t* cbf8_cb, uint8_t* cbf8_cr, int16_t* coef_y, int16_t* coef_cb,
+    int16_t* coef_cr, int sao_on, uint8_t* sao_merge, uint8_t* sao_type,
+    int16_t* sao_off, uint8_t* sao_band, const int64_t* sub_sizes,
+    int nsub, int nthreads) {
+  SliceDecoder sd;
+  fill_maps(sd.m, pic_w, pic_h, ctb_log2, max_hier_depth,
+            depth8, part8, mode4, cmode8, tu4,
+            cbf4_y, cbf8_cb, cbf8_cr, coef_y, coef_cb, coef_cr);
+  sd.m.sao_on = sao_on;
+  sd.m.sao_merge = sao_merge;
+  sd.m.sao_type = sao_type;
+  sd.m.sao_off = sao_off;
+  sd.m.sao_band = sao_band;
+  return sd.run_wpp(data, size, ctx_states, sub_sizes, nsub, nthreads);
 }
 
 int64_t hevc_decode_slice_data(

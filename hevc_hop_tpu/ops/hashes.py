@@ -29,13 +29,12 @@ def plane_checksum(plane: jnp.ndarray, bit_depth: int = 8) -> jnp.ndarray:
 
 
 def checksum_digests(y, cb, cr, bit_depth: int = 8) -> list:
-    """Per-plane 4-byte big-endian checksum digests (device or host arrays)."""
-    out = []
-    for plane in (y, cb, cr):
-        v = int(np.asarray(plane_checksum(jnp.asarray(plane), bit_depth)))
-        out.append(bytes([(v >> 24) & 255, (v >> 16) & 255,
-                          (v >> 8) & 255, v & 255]))
-    return out
+    """Per-plane 4-byte big-endian checksum digests (device or host arrays).
+    All three reductions are fetched in one host roundtrip."""
+    sums = jax.device_get([plane_checksum(jnp.asarray(p), bit_depth)
+                           for p in (y, cb, cr)])
+    return [bytes([(v >> 24) & 255, (v >> 16) & 255, (v >> 8) & 255,
+                   v & 255]) for v in (int(s) for s in sums)]
 
 
 def checksum_digests_np(y, cb, cr, bit_depth: int = 8) -> list:

@@ -204,6 +204,82 @@ def predict_all_modes(chain_u: jnp.ndarray, n: int, c_idx: int = 0,
     return jnp.clip(out, 0, (1 << bit_depth) - 1)
 
 
+def predict_mode(chain_u: jnp.ndarray, modes: jnp.ndarray, n: int,
+                 c_idx: int = 0, bit_depth: int = 8,
+                 strong_smoothing: bool = True) -> jnp.ndarray:
+    """One intra prediction per block for a known mode vector.
+
+    chain_u: [B, 4N+1] int32 (availability-substituted); modes: [B] int32.
+    Returns [B, N, N] int32. ~12x less compute than predict_all_modes when
+    the mode decision already happened (the coding wavefront's common case —
+    TComPrediction.cpp predIntraLumaAng computes exactly one mode too).
+    """
+    tabs = _static_tables(n)
+    log2 = n.bit_length() - 1
+    use_filter = c_idx == 0 and n > 4
+    chain_f = filter_refs(chain_u, strong=strong_smoothing and c_idx == 0,
+                          bit_depth=bit_depth) if use_filter else chain_u
+
+    left = chain_u[..., 2 * n - 1::-1]
+    top = chain_u[..., 2 * n + 1:]
+    corner = chain_u[..., 2 * n]
+    left_f = chain_f[..., 2 * n - 1::-1]
+    top_f = chain_f[..., 2 * n + 1:]
+
+    pl, pt = (left_f, top_f) if use_filter else (left, top)
+    x = jnp.arange(n, dtype=jnp.int32)
+    y = jnp.arange(n, dtype=jnp.int32)
+    planar = ((n - 1 - x)[None, None, :] * pl[:, :n, None]
+              + (x + 1)[None, None, :] * pt[:, n, None, None]
+              + (n - 1 - y)[None, :, None] * pt[:, None, :n]
+              + (y + 1)[None, :, None] * pl[:, n, None, None]
+              + n) >> (log2 + 1)
+
+    dc = (jnp.sum(top[:, :n], axis=-1) + jnp.sum(left[:, :n], axis=-1)
+          + n) >> (log2 + 1)
+    dc_blk = jnp.broadcast_to(dc[:, None, None], planar.shape)
+    if c_idx == 0 and n < 32:
+        row0 = (top[:, :n] + 3 * dc[:, None] + 2) >> 2
+        col0 = (left[:, :n] + 3 * dc[:, None] + 2) >> 2
+        corner_val = (left[:, 0] + 2 * dc + top[:, 0] + 2) >> 2
+        dc_blk = dc_blk.at[:, 0, :].set(row0)
+        dc_blk = dc_blk.at[:, :, 0].set(col0)
+        dc_blk = dc_blk.at[:, 0, 0].set(corner_val)
+
+    # angular for this block's mode only
+    mi = jnp.clip(modes - 2, 0, 32)
+    b = chain_u.shape[0]
+    both = jnp.stack([chain_u, chain_f], axis=1)            # [B, 2, L]
+    sel = (jnp.asarray(tabs["filt"], jnp.int32)[mi]
+           * jnp.int32(use_filter))                          # [B]
+    ei = jnp.asarray(tabs["ext_idx"])[mi]                    # [B, 3N+1]
+    ext = both[jnp.arange(b)[:, None], sel[:, None], ei]     # [B, 3N+1]
+    pidx = jnp.asarray(tabs["pred_idx"])[mi]                 # [B, N, N]
+    f = jnp.asarray(tabs["fact"])[mi][:, :, None]            # [B, N, 1]
+    g0 = jnp.take_along_axis(ext, pidx.reshape(b, -1), axis=-1
+                             ).reshape(b, n, n)
+    g1 = jnp.take_along_axis(ext, (pidx + 1).reshape(b, -1), axis=-1
+                             ).reshape(b, n, n)
+    ang = ((32 - f) * g0 + f * g1 + 16) >> 5
+    is_hor = jnp.asarray(tabs["is_hor"])[mi]
+    ang = jnp.where(is_hor[:, None, None], jnp.swapaxes(ang, -1, -2), ang)
+
+    if c_idx == 0 and n < 32:
+        maxv = (1 << bit_depth) - 1
+        col = jnp.clip(top[:, 0, None] + ((left[:, :n] - corner[:, None])
+                                          >> 1), 0, maxv)
+        ang = jnp.where((modes == 26)[:, None, None],
+                        ang.at[:, :, 0].set(col), ang)
+        row = jnp.clip(left[:, 0, None] + ((top[:, :n] - corner[:, None])
+                                           >> 1), 0, maxv)
+        ang = jnp.where((modes == 10)[:, None, None],
+                        ang.at[:, 0, :].set(row), ang)
+
+    out = jnp.where((modes == 0)[:, None, None], planar,
+                    jnp.where((modes == 1)[:, None, None], dc_blk, ang))
+    return jnp.clip(out, 0, (1 << bit_depth) - 1)
+
+
 # ---------------------------------------------------------------------------
 # SATD (Hadamard) cost for RMD, as matmuls on the MXU.
 # ---------------------------------------------------------------------------

@@ -51,19 +51,24 @@ def dequant(level: jnp.ndarray, qp: int, log2_size: int,
 
 def sbh_adjust(lev: jnp.ndarray, scan_id: jnp.ndarray,
                c_idx: int = 0, coef: jnp.ndarray | None = None,
-               qp: int = 0, bit_depth: int = 8) -> jnp.ndarray:
+               qp: int = 0, bit_depth: int = 8,
+               lam: float = 0.0) -> jnp.ndarray:
     """Sign-bit-hiding parity enforcement (TComTrQuant.cpp:868
     signBitHidingHDQ analog, batched): for every 4x4 coefficient group
     where lastNZ-firstNZ >= 4 in scan order, the sign of the first nonzero
     is inferred by the decoder from the abs-level parity (HEVC 7.3.8.11) —
     when the parity disagrees with the real sign, one level is moved +-1.
 
-    The position/direction is chosen by true distortion delta against the
-    pre-quant transform coefficients `coef` (HM's deltaU minimization):
-    every nonzero may move toward its quantization error, except a
-    decrement that would zero the FIRST nonzero (that would hand the
-    hidden sign to a different coefficient). lev [B, N, N] int32;
-    scan_id [B] MDCS scan.
+    The position/direction is chosen by RD delta against the pre-quant
+    transform coefficients `coef` (HM's deltaU minimization + the rate
+    term of xRateDistOptQuant's sign-hiding stage): distortion delta in
+    the coefficient domain plus lam-scaled level-rate delta (golomb-ish
+    proxy for xGetICRate's +-1 cost). Excluded moves: a decrement that
+    would zero the FIRST nonzero (hands the hidden sign to a different
+    coefficient), and one that would zero the LAST nonzero when that
+    collapses the span below 4 (hiding would be disabled and the sign
+    coded anyway — the +-1 distortion would be pure loss).
+    lev [B, N, N] int32; scan_id [B] MDCS scan.
     """
     b, n, _ = lev.shape
     log2 = n.bit_length() - 1
@@ -104,11 +109,29 @@ def sbh_adjust(lev: jnp.ndarray, scan_id: jnp.ndarray,
                  ).astype(jnp.float32)
         d_inc = (cq - dequant(c + sgn, qp, log2, bit_depth)
                  ).astype(jnp.float32)
-        cost_dec = d_dec * d_dec - d_cur * d_cur
-        cost_inc = d_inc * d_inc - d_cur * d_cur
+        # lam-scaled level-rate delta in the coefficient-SSE domain
+        # (distortion here is coef-domain: pixel SSE ~ coefSSE >> 2*trShift)
+        tr_shift = rom.MAX_TR_DYNAMIC_RANGE - bit_depth - log2
+        lamc = np.float32(lam * (4.0 ** tr_shift))
+        gb = lambda v: jnp.where(
+            v > 0, 1.0 + 2.0 * jnp.floor(
+                jnp.log2(jnp.maximum(v, 1).astype(jnp.float32))), -1.5)
+        r_cur = gb(a)
+        r_dec = gb(a - 1)
+        r_inc = gb(a + 1)
+        cost_dec = (d_dec * d_dec - d_cur * d_cur
+                    + lamc * (r_dec - r_cur))
+        cost_inc = (d_inc * d_inc - d_cur * d_cur
+                    + lamc * (r_inc - r_cur))
         big = jnp.float32(3e38)
         is_first = idx[None, None] == first[..., None]
-        dec_ok = nz & ~(is_first & (a == 1))
+        is_last = idx[None, None] == last[..., None]
+        # second-to-last nonzero (for the span-collapse test)
+        last2 = jnp.max(jnp.where(nz & ~is_last, idx[None, None], -1),
+                        axis=-1)
+        collapse = (last2 - first) < 4
+        dec_ok = nz & ~((is_first | (is_last & collapse[..., None]))
+                        & (a == 1))
         cost_dec = jnp.where(dec_ok, cost_dec, big)
         cost_inc = jnp.where(nz, cost_inc, big)
         use_dec = cost_dec <= cost_inc

@@ -127,28 +127,61 @@ def sao_stats_plane(org, pre, ctb_log2: int, bit_depth: int = 8):
 
 
 # ---------------------------------------------------------------------------
-# Host-side RDO (tiny per-CTU problem; numpy)
+# Host-side RDO, vectorized over all CTUs (decideBlkParams:762 analog).
+# Candidate costs are dense numpy tensors; only the merge decision (which
+# copies the raster-order *decided* params of the left/top neighbor,
+# TEncSampleAdaptiveOffset.cpp:706) runs as a short anti-diagonal sweep.
 # ---------------------------------------------------------------------------
 
-def _best_offset(cnt, s, lam, lo, hi):
-    """Scalar offset minimizing cnt*o^2 - 2*o*s + lam*rate(o)."""
-    if cnt == 0:
-        return 0, 0.0
-    o0 = int(np.clip(np.round(s / cnt), lo, hi))
-    best, bo = 0.0, 0
-    step = 1 if o0 >= 0 else -1
-    for o in range(0, o0 + step, step):
-        c = cnt * o * o - 2.0 * o * s + lam * (abs(o) + 1)
-        if c < best:
-            best, bo = c, o
-    return bo, best
+def _best_offset_vec(cnt, s, lam, lo, hi):
+    """Vectorized offset search: min over o in [lo, hi] of
+    cnt*o^2 - 2*o*s + lam*(|o|+1), with o=0 costing 0.
+    cnt/s: [...]; returns (off [...], cost [...])."""
+    o = np.arange(lo, hi + 1, dtype=np.float64)
+    c = (cnt[..., None] * o * o - 2.0 * o * s[..., None]
+         + lam * (np.abs(o) + 1.0))
+    c[..., -lo if lo < 0 else 0] = 0.0  # o == 0
+    k = np.argmin(c, axis=-1)
+    return (o[k]).astype(np.int16), np.take_along_axis(
+        c, k[..., None], -1)[..., 0]
 
 
-def _params_cost(cnt4, sum4, offs, lam_bits=0.0):
-    d = 0.0
-    for k in range(4):
-        d += cnt4[k] * offs[k] * offs[k] - 2.0 * offs[k] * sum4[k]
-    return d + lam_bits
+def _comp_new_best(stats, lam):
+    """Per-CTU best 'new' params for one component, all CTUs at once.
+
+    Returns dict with eo_off [Y,X,4,4], eo_cost [Y,X,4] (incl. lam*4 rate),
+    bo_off [Y,X,4], bo_band [Y,X], bo_cost [Y,X] (incl. lam*7 rate)."""
+    eo_cnt, eo_sum, bo_cnt, bo_sum = (np.asarray(a, np.float64)
+                                      for a in stats)
+    # EO: cats 0,1 -> offsets in [0,7]; cats 2,3 -> [-7,0]
+    op, cp = _best_offset_vec(eo_cnt[..., :2], eo_sum[..., :2], lam, 0, 7)
+    on, cn = _best_offset_vec(eo_cnt[..., 2:], eo_sum[..., 2:], lam, -7, 0)
+    eo_off = np.concatenate([op, on], -1)            # [Y,X,4cls,4cat]
+    eo_cost = cp.sum(-1) + cn.sum(-1) + lam * 4.0    # [Y,X,4cls]
+    # BO: every band's best offset, then best 4-band window
+    bo, bc = _best_offset_vec(bo_cnt, bo_sum, lam, -7, 7)   # [Y,X,32]
+    win = sum(np.roll(bc, -k, axis=-1) for k in range(4))   # [Y,X,32]
+    band = np.argmin(win, axis=-1)
+    bo_cost = np.take_along_axis(win, band[..., None], -1)[..., 0] + lam * 7.0
+    idx = (band[..., None] + np.arange(4)) % 32
+    bo_off = np.take_along_axis(bo, idx, -1)
+    return dict(eo_off=eo_off, eo_cost=eo_cost, bo_off=bo_off,
+                bo_band=band.astype(np.int16), bo_cost=bo_cost)
+
+
+def _apply_cost(stats, t, offs, bpos):
+    """Distortion-delta of applying params (t [N], offs [N,4], band [N]) to
+    CTUs whose stats rows are pre-gathered:
+    stats = (eo_cnt [N,4,4], eo_sum, bo_cnt [N,32], bo_sum)."""
+    eo_cnt, eo_sum, bo_cnt, bo_sum = stats
+    o = offs.astype(np.float64)
+    cls = np.clip(t - 2, 0, 3)
+    n = np.arange(len(t))
+    d_eo = (eo_cnt[n, cls] * o * o - 2.0 * o * eo_sum[n, cls]).sum(-1)
+    b = (bpos[:, None] + np.arange(4)) % 32
+    d_bo = (np.take_along_axis(bo_cnt, b, -1) * o * o
+            - 2.0 * o * np.take_along_axis(bo_sum, b, -1)).sum(-1)
+    return np.where(t == 0, 0.0, np.where(t == 1, d_bo, d_eo))
 
 
 def choose_sao_params(stats_y, stats_cb, stats_cr, lam: float):
@@ -158,93 +191,107 @@ def choose_sao_params(stats_y, stats_cb, stats_cr, lam: float):
     (merge [ncty,nctx], type3 [ncty,nctx,3], off [ncty,nctx,3,4],
     band [ncty,nctx,3]).
     """
-    ncty, nctx = stats_y[0].shape[:2]
+    ncty, nctx = np.asarray(stats_y[0]).shape[:2]
+    comps = tuple(tuple(np.asarray(a, np.float64) for a in s)
+                  for s in (stats_y, stats_cb, stats_cr))
+    nb = tuple(_comp_new_best(s, lam) for s in comps)
+
+    # luma: free choice among OFF / BO / best-EO-class
+    by = nb[0]
+    ycls = np.argmin(by["eo_cost"], -1)
+    yeo_cost = np.take_along_axis(by["eo_cost"], ycls[..., None], -1)[..., 0]
+    cand_cost = np.stack([np.zeros((ncty, nctx)), by["bo_cost"], yeo_cost], 0)
+    ysel = np.argmin(cand_cost, 0)                       # 0 off, 1 BO, 2 EO
+    ty = np.where(ysel == 2, 2 + ycls, ysel).astype(np.uint8)
+    costy = np.min(cand_cost, 0)
+    # cb free; cr forced to cb's type idx + EO class (SAOProcess chroma pair)
+    bcb = nb[1]
+    ccls = np.argmin(bcb["eo_cost"], -1)
+    ceo_cost = np.take_along_axis(bcb["eo_cost"], ccls[..., None], -1)[..., 0]
+    ccost = np.stack([np.zeros((ncty, nctx)), bcb["bo_cost"], ceo_cost], 0)
+    csel = np.argmin(ccost, 0)
+    tcb = np.where(csel == 2, 2 + ccls, csel).astype(np.uint8)
+    costcb = np.min(ccost, 0)
+    bcr = nb[2]
+    creo = np.take_along_axis(bcr["eo_cost"], ccls[..., None], -1)[..., 0]
+    costcr = np.where(csel == 0, 0.0,
+                      np.where(csel == 1, bcr["bo_cost"], creo))
+    new_cost = costy + costcb + costcr + lam * 2.0
+
+    def new_params(ci, tsel, cls):
+        b = nb[ci]
+        offs = np.where((tsel >= 2)[..., None],
+                        np.take_along_axis(
+                            b["eo_off"], cls[..., None, None], 2)[:, :, 0],
+                        np.where((tsel == 1)[..., None], b["bo_off"], 0))
+        bnd = np.where(tsel == 1, b["bo_band"], 0)
+        return offs.astype(np.int16), bnd.astype(np.uint8)
+
+    oy, bndy = new_params(0, ty, ycls)
+    ocb, bndcb = new_params(1, tcb, ccls)
+    tcr = np.where(csel == 2, 2 + ccls, csel).astype(np.uint8)
+    ocr, bndcr = new_params(2, tcr, ccls)
+    ntype = np.stack([ty, tcb, tcr], -1)
+    noff = np.stack([oy, ocb, ocr], -2)
+    nband = np.stack([bndy, bndcb, bndcr], -1)
+
+    # merge sweep: anti-diagonals (left/top are always in earlier diagonals)
     merge = np.zeros((ncty, nctx), np.uint8)
-    type3 = np.zeros((ncty, nctx, 3), np.uint8)
-    off = np.zeros((ncty, nctx, 3, 4), np.int16)
-    band = np.zeros((ncty, nctx, 3), np.uint8)
-    comps = (stats_y, stats_cb, stats_cr)
-
-    def comp_best(ci, cy, cx, force_type=None, force_cls=None):
-        """Best (type, offs, band, cost) for one component of one CTU."""
-        eo_cnt, eo_sum, bo_cnt, bo_sum = comps[ci]
-        best = (0, np.zeros(4, np.int16), 0, 0.0)   # OFF
-        classes = range(4) if force_cls is None else [force_cls]
-        types = (1, 2) if force_type is None else [force_type]
-        if 2 in types:
-            for cls in classes:
-                offs = np.zeros(4, np.int16)
-                cost = lam * 4.0   # type + class rate
-                for k in range(4):
-                    lo, hi = (0, 7) if k < 2 else (-7, 0)
-                    o, c = _best_offset(int(eo_cnt[cy, cx, cls, k]),
-                                        float(eo_sum[cy, cx, cls, k]),
-                                        lam, lo, hi)
-                    offs[k] = o
-                    cost += c
-                if cost < best[3]:
-                    best = (2 + cls, offs, 0, cost)
-        if 1 in types:
-            bo = np.zeros(32, np.int16)
-            bc = np.zeros(32)
-            for b in range(32):
-                o, c = _best_offset(int(bo_cnt[cy, cx, b]),
-                                    float(bo_sum[cy, cx, b]), lam, -7, 7)
-                bo[b], bc[b] = o, c
-            costs = np.array([bc[(s + np.arange(4)) % 32].sum()
-                              for s in range(32)])
-            s = int(np.argmin(costs))
-            cost = costs[s] + lam * 7.0  # type + band position rate
-            if cost < best[3]:
-                best = (1, bo[(s + np.arange(4)) % 32].astype(np.int16),
-                        s, cost)
-        return best
-
-    def eval_params(ci, cy, cx, t, offs, bpos):
-        eo_cnt, eo_sum, bo_cnt, bo_sum = comps[ci]
-        if t == 0:
-            return 0.0
-        if t >= 2:
-            return _params_cost(eo_cnt[cy, cx, t - 2], eo_sum[cy, cx, t - 2],
-                                offs)
-        d = 0.0
-        for k in range(4):
-            b = (bpos + k) % 32
-            d += (bo_cnt[cy, cx, b] * offs[k] * offs[k]
-                  - 2.0 * offs[k] * bo_sum[cy, cx, b])
-        return d
-
-    for cy in range(ncty):
-        for cx in range(nctx):
-            # new params: luma free; cb/cr share type idx + EO class
-            ty, oy, by, costy = comp_best(0, cy, cx)
-            tcb, ocb, bcb, costcb = comp_best(1, cy, cx)
-            tcls = None if tcb < 2 else tcb - 2
-            tcr, ocr, bcr, costcr = comp_best(
-                2, cy, cx, force_type=(tcb if tcb <= 1 else 2),
-                force_cls=tcls)
-            new_cost = costy + costcb + costcr + lam * 2.0
-            cands = [(0, (ty, oy, by, tcb, ocb, bcb, tcr, ocr, bcr),
-                      new_cost)]
-            for mrg, (sy, sx) in ((1, (cy, cx - 1)), (2, (cy - 1, cx))):
-                if sx < 0 or sy < 0:
-                    continue
-                cost = lam * 1.0
-                for ci in range(3):
-                    cost += eval_params(ci, cy, cx, type3[sy, sx, ci],
-                                        off[sy, sx, ci],
-                                        band[sy, sx, ci])
-                cands.append((mrg, (type3[sy, sx, 0], off[sy, sx, 0],
-                                    band[sy, sx, 0], type3[sy, sx, 1],
-                                    off[sy, sx, 1], band[sy, sx, 1],
-                                    type3[sy, sx, 2], off[sy, sx, 2],
-                                    band[sy, sx, 2]), cost))
-            mrg, prm, _ = min(cands, key=lambda c: c[2])
-            merge[cy, cx] = mrg
-            (type3[cy, cx, 0], off[cy, cx, 0], band[cy, cx, 0],
-             type3[cy, cx, 1], off[cy, cx, 1], band[cy, cx, 1],
-             type3[cy, cx, 2], off[cy, cx, 2], band[cy, cx, 2]) = prm
+    type3 = ntype.copy()
+    off = noff.copy()
+    band = nband.copy()
+    ii, jj = np.mgrid[0:ncty, 0:nctx]
+    for d in range(ncty + nctx - 1):
+        sel = (ii + jj) == d
+        cy, cx = ii[sel], jj[sel]
+        cost_best = new_cost[cy, cx].copy()
+        src = np.zeros(len(cy), np.uint8)
+        for mrg, (sy, sx) in ((1, (cy, cx - 1)), (2, (cy - 1, cx))):
+            ok = (sx >= 0) & (sy >= 0)
+            if not ok.any():
+                continue
+            sy2, sx2 = np.clip(sy, 0, None), np.clip(sx, 0, None)
+            c = np.full(len(cy), lam * 1.0)
+            for ci in range(3):
+                g = tuple(a[cy, cx] for a in comps[ci])
+                c += _apply_cost(g, type3[sy2, sx2, ci].astype(np.int32),
+                                 off[sy2, sx2, ci], band[sy2, sx2, ci])
+            better = ok & (c < cost_best)
+            cost_best = np.where(better, c, cost_best)
+            src = np.where(better, mrg, src)
+        merge[cy, cx] = src
+        for mrg, (sy, sx) in ((1, (cy, cx - 1)), (2, (cy - 1, cx))):
+            m = src == mrg
+            if m.any():
+                type3[cy[m], cx[m]] = type3[sy[m], sx[m]]
+                off[cy[m], cx[m]] = off[sy[m], sx[m]]
+                band[cy[m], cx[m]] = band[sy[m], sx[m]]
     return merge, type3, off, band
+
+
+def stats_dispatch(org_yuv, rec_yuv, ctb_log2: int, bit_depth: int = 8):
+    """Dispatch the (async) per-CTU statistics programs; returns device
+    handles — fetch later with jax.device_get (pipelining seam)."""
+    oy, ocb, ocr = (jnp.asarray(p).astype(jnp.int32) for p in org_yuv)
+    ry, rcb, rcr = (jnp.asarray(p).astype(jnp.int32) for p in rec_yuv)
+    return (sao_stats_plane(oy, ry, ctb_log2, bit_depth),
+            sao_stats_plane(ocb, rcb, ctb_log2 - 1, bit_depth),
+            sao_stats_plane(ocr, rcr, ctb_log2 - 1, bit_depth))
+
+
+def choose_apply(stats_np, rec_yuv, maps, ctb_log2: int, lam: float,
+                 bit_depth: int = 8):
+    """Host RDO on fetched stats -> fill maps.sao_* -> device apply."""
+    st_y, st_cb, st_cr = stats_np
+    ry, rcb, rcr = (jnp.asarray(p).astype(jnp.int32) for p in rec_yuv)
+    merge, type3, off, band = choose_sao_params(st_y, st_cb, st_cr, lam)
+    maps.sao_on = 1
+    maps.sao_merge[:] = merge
+    maps.sao_type[:] = type3
+    maps.sao_off[:] = off
+    maps.sao_band[:] = band
+    return apply_sao_frame(ry, rcb, rcr, type3, off, band, ctb_log2,
+                           bit_depth)
 
 
 def rdo_and_apply(org_yuv, rec_yuv, maps, ctb_log2: int, lam: float,
@@ -254,22 +301,9 @@ def rdo_and_apply(org_yuv, rec_yuv, maps, ctb_log2: int, lam: float,
     org_yuv/rec_yuv: ((y, cb, cr)) numpy/jnp planes at true size (must be
     CTU multiples). Returns post-SAO (ry, rcb, rcr) jnp planes.
     """
-    oy, ocb, ocr = (jnp.asarray(p, jnp.int32) for p in org_yuv)
-    ry, rcb, rcr = (jnp.asarray(p, jnp.int32) for p in rec_yuv)
-    st_y = [np.asarray(a) for a in sao_stats_plane(oy, ry, ctb_log2,
-                                                   bit_depth)]
-    st_cb = [np.asarray(a) for a in sao_stats_plane(ocb, rcb, ctb_log2 - 1,
-                                                    bit_depth)]
-    st_cr = [np.asarray(a) for a in sao_stats_plane(ocr, rcr, ctb_log2 - 1,
-                                                    bit_depth)]
-    merge, type3, off, band = choose_sao_params(st_y, st_cb, st_cr, lam)
-    maps.sao_on = 1
-    maps.sao_merge[:] = merge
-    maps.sao_type[:] = type3
-    maps.sao_off[:] = off
-    maps.sao_band[:] = band
-    return apply_sao_frame(ry, rcb, rcr, type3, off, band, ctb_log2,
-                           bit_depth)
+    stats_np = jax.device_get(
+        stats_dispatch(org_yuv, rec_yuv, ctb_log2, bit_depth))
+    return choose_apply(stats_np, rec_yuv, maps, ctb_log2, lam, bit_depth)
 
 
 def apply_sao_frame(ry, rcb, rcr, type3, off, band, ctb_log2: int,

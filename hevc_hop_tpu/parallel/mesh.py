@@ -90,7 +90,10 @@ def analysis_step_sharded(frames: jnp.ndarray, mesh: Mesh, n: int = 16,
     dense analysis locally. Returns per-block min-cost [F, by, bx] and
     best mode [F, by, bx].
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:                      # older jax
+        from jax.experimental.shard_map import shard_map
 
     def local(frames_l):
         # frames_l: [F_l, H_l, W]

@@ -100,9 +100,11 @@ def hm_decode_ok(tmp_path, stream: bytes, recons) -> None:
 @pytest.mark.parametrize("w,h,qp,gt", [
     (64, 64, 32, False),
     (96, 64, 30, False),
-    # qp 37: with qpel ME + merge arms in the tournament, the GT warp only
-    # wins where translation genuinely fails (high lambda, zoomed MIs)
-    (96, 64, 37, True),
+    # qp 34: with qpel ME + merge arms + RD-correct SBH in the tournament,
+    # the GT warp only wins where translation genuinely fails (zoomed MIs);
+    # at qp 37 the residual is too coarse for any GT block to survive the
+    # exact corner-bit rate gate on this small fixture
+    (96, 64, 34, True),
 ])
 def test_hm_decodes_our_iss_stream(tmp_path, w, h, qp, gt):
     from hevc_hop_tpu.models.ss_encoder import HoloConfig, HoloEncoder
