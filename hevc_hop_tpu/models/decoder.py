@@ -25,21 +25,25 @@ from hevc_hop_tpu.models import wavefront, wavefront_scan
 from hevc_hop_tpu.ops import deblock
 
 
-@functools.partial(jax.jit, static_argnames=("qp", "bit_depth", "uni_log2"))
-def _residual_uniform(coefp, qp: int, bit_depth: int, uni_log2: int):
+@functools.partial(jax.jit, static_argnames=("qp", "bit_depth", "uni_log2",
+                                             "dst4"))
+def _residual_uniform(coefp, qp: int, bit_depth: int, uni_log2: int,
+                      dst4: bool = False):
     n = 1 << uni_log2
     h, w = coefp.shape
     blocks = coefp.astype(jnp.int32).reshape(
         h // n, n, w // n, n).transpose(0, 2, 1, 3).reshape(-1, n, n)
     deq = quant.dequant(blocks, qp, uni_log2, bit_depth)
-    resi = transform.inv_transform(deq, bit_depth, use_dst=False)
+    resi = transform.inv_transform(deq, bit_depth,
+                                   use_dst=dst4 and uni_log2 == 2)
     return resi.reshape(h // n, w // n, n, n).transpose(
         0, 2, 1, 3).reshape(h, w)
 
 
-@functools.partial(jax.jit, static_argnames=("qp", "bit_depth", "sizes"))
+@functools.partial(jax.jit, static_argnames=("qp", "bit_depth", "sizes",
+                                             "dst4"))
 def _residual_mixed(coefp, pos_by_size, qp: int, bit_depth: int,
-                    sizes: tuple):
+                    sizes: tuple, dst4: bool = False):
     out = jnp.zeros(coefp.shape, jnp.int32)
     coefp = coefp.astype(jnp.int32)
     for log2 in sizes:
@@ -52,13 +56,14 @@ def _residual_mixed(coefp, pos_by_size, qp: int, bit_depth: int,
         cols = jnp.broadcast_to(cols, (pos.shape[0], n, n))
         blocks = coefp[rows, cols]
         deq = quant.dequant(blocks, qp, log2, bit_depth)
-        resi = transform.inv_transform(deq, bit_depth, use_dst=False)
+        resi = transform.inv_transform(deq, bit_depth,
+                                       use_dst=dst4 and log2 == 2)
         out = out.at[rows, cols].set(resi)
     return out
 
 
 def _dense_residual(coef_plane: np.ndarray, leaves, qp: int, bit_depth: int,
-                    chroma: bool) -> jnp.ndarray:
+                    chroma: bool, dst4: bool = False) -> jnp.ndarray:
     """Dequant + inverse transform all TUs, batched per size.
 
     Returns a DEVICE plane — the decode pipeline stays on device end to
@@ -68,9 +73,11 @@ def _dense_residual(coef_plane: np.ndarray, leaves, qp: int, bit_depth: int,
     cp = (coef_plane.astype(np.int8)
           if np.abs(coef_plane, dtype=np.int32).max(initial=0) <= 127
           else coef_plane)
+    dst4 = dst4 and not chroma   # DST: 4x4 intra LUMA only (8.6.4.2)
     if len(sizes) == 1:
         log2 = next(iter(sizes)) - (1 if chroma else 0)
-        return _residual_uniform(jnp.asarray(cp), qp, bit_depth, log2)
+        return _residual_uniform(jnp.asarray(cp), qp, bit_depth, log2,
+                                 dst4)
     by_size = {}
     for (x, y, log2) in leaves:
         if chroma:
@@ -79,7 +86,7 @@ def _dense_residual(coef_plane: np.ndarray, leaves, qp: int, bit_depth: int,
     pos = {log2: jnp.asarray(np.array(p, np.int32))
            for log2, p in sorted(by_size.items())}
     return _residual_mixed(jnp.asarray(cp), pos, qp, bit_depth,
-                           tuple(sorted(by_size)))
+                           tuple(sorted(by_size)), dst4)
 
 
 class Decoder:
@@ -95,6 +102,8 @@ class Decoder:
         self._pics_dev = []   # device (y, cb, cr) int32 triples
         self._pics_np = []    # lazily fetched host copies
         self.hash_ok = []   # per decoded-picture-hash SEI verification
+        self.concealed = []  # indices of synthesized lost references
+        self.sei_log = []    # (payload_type, parsed-or-raw) observability
 
     @property
     def pictures(self) -> list:
@@ -126,6 +135,20 @@ class Decoder:
             elif nal_type in (NalUnitType.PREFIX_SEI_NUT,
                               NalUnitType.SUFFIX_SEI_NUT):
                 for msg in seimod.parse_sei(rbsp):
+                    if msg.payload_type == seimod.RECOVERY_POINT:
+                        self.sei_log.append(
+                            ("recovery_point",
+                             seimod.parse_recovery_point(msg.payload)))
+                    elif msg.payload_type == seimod.ACTIVE_PARAMETER_SETS:
+                        self.sei_log.append(
+                            ("active_parameter_sets",
+                             seimod.parse_active_parameter_sets(
+                                 msg.payload)))
+                    elif msg.payload_type == seimod.USER_DATA_UNREGISTERED:
+                        self.sei_log.append(
+                            ("user_data",
+                             seimod.parse_user_data_unregistered(
+                                 msg.payload)))
                     if (msg.payload_type == seimod.PICTURE_HASH
                             and self._pics_dev):
                         # TDecGop.cpp:230 calcAndPrintHashStatus; the
@@ -191,12 +214,16 @@ class Decoder:
         leaves = wavefront.tu_blocks_from_maps(maps.depth8, maps.tu4,
                                                w, h, sps.ctb_log2)
         qp_c = rom.chroma_qp_from_luma(qp)
-        resi_y = _dense_residual(maps.coef_y, leaves, qp, bd, False)
-        resi_cb = _dense_residual(maps.coef_cb, leaves, qp_c, bd, True)
-        resi_cr = _dense_residual(maps.coef_cr, leaves, qp_c, bd, True)
-
-        assert min(log2 for (_, _, log2) in leaves) >= 3, \
-            "4x4-TU (NxN) streams TODO"
+        intra_dst4 = sh.slice_type in (SliceType.I, SliceType.ISS)
+        resi_y = _dense_residual(maps.coef_y, leaves, qp, bd, False,
+                                 dst4=intra_dst4)
+        # chroma TUs follow the CU tree only down to 8x8 luma: an NxN CU's
+        # chroma is ONE 4x4 TU at the CU origin, not four 2x2s
+        cu_leaves = ([lv for lv in leaves if lv[2] >= 3]
+                     + sorted({((x // 8) * 8, (y // 8) * 8, 3)
+                               for (x, y, lg) in leaves if lg == 2}))
+        resi_cb = _dense_residual(maps.coef_cb, cu_leaves, qp_c, bd, True)
+        resi_cr = _dense_residual(maps.coef_cr, cu_leaves, qp_c, bd, True)
         self._cur_qp = qp
         if sh.slice_type in (SliceType.ISS, SliceType.PSS):
             self._recon_ss(maps, leaves, resi_y, resi_cb, resi_cr)
@@ -230,7 +257,13 @@ class Decoder:
             py = np.where(valid, pos[..., 1], 0)
             modes = maps.mode4[py // 4, px // 4].astype(np.int32)
             cm = maps.cmode8[py // 8, px // 8].astype(np.int32)
-            cmodes = np.where(cm == 36, modes, cm)
+            if log2 == 2:
+                # chroma DM of an NxN CU follows PU0's luma mode
+                pu0 = maps.mode4[((py // 8) * 8) // 4,
+                                 ((px // 8) * 8) // 4].astype(np.int32)
+                cmodes = np.where(cm == 36, pu0, cm)
+            else:
+                cmodes = np.where(cm == 36, modes, cm)
             modes = np.where(valid, modes, 0)
             cmodes = np.where(valid, cmodes, 0)
             xs[log2] = (jnp.asarray(pos), jnp.asarray(d["avail"]),
@@ -338,6 +371,20 @@ class Decoder:
         rpcr = jnp.zeros((h // 2 + pad, w // 2), jnp.int32).at[:h // 2].set(
             resi_cr)
         if pss:
+            if not self._pics_dev:
+                # lost-reference concealment (TDecTop.cpp:258
+                # xCreateLostPicture analog): synthesize a mid-grey
+                # reference and keep decoding; the event is recorded so
+                # callers can flag the corrupted output
+                mid = 1 << (bd - 1)
+                self._pics_dev.append(
+                    (jnp.full((h, w), mid, jnp.int32),
+                     jnp.full((h // 2, w // 2), mid, jnp.int32),
+                     jnp.full((h // 2, w // 2), mid, jnp.int32)))
+                self._pics_np.append(tuple(
+                    np.full(p.shape, mid, np.int32)
+                    for p in self._pics_dev[-1]))
+                self.concealed.append(len(self._pics_dev) - 1)
             py_, pcb, pcr = self._pics_dev[-1]
             ry, rcb, rcr = ss_scan.scan_decode_pss(
                 rpy, rpcb, rpcr, py_, pcb, pcr, xs, sizes=sizes,

@@ -50,6 +50,12 @@ class EncoderConfig:
     rdoq: bool = True
     # sign_data_hiding_enabled_flag (TComTrQuant.cpp:868 signBitHidingHDQ)
     sbh: bool = True
+    # NxN intra at min CU (four 4x4 PUs/TUs, part_mode + intra_split;
+    # TEncCu.cpp:1455 SIZE_NxN arm); analysis mode-decision only
+    nxn: bool = True
+    # residual quadtree: 16/32 CUs may keep one mode but split transforms
+    # into half-size TUs (xEstimateResidualQT, TEncSearch.cpp:6824)
+    rqt: bool = True
     # entropy_coding_sync_enabled_flag: one CABAC substream per CTU row,
     # coded by parallel host threads (TEncSlice.cpp:1158 WPP analog)
     wpp: bool = False
@@ -64,10 +70,12 @@ class IntraEncoder:
             assert cfg.width % (1 << cfg.ctb_log2) == 0 \
                 and cfg.height % (1 << cfg.ctb_log2) == 0, \
                 "SAO stats tiling needs CTU-aligned dims (pad input)"
+        self._use_rqt = (cfg.rqt and cfg.cu_log2 is None
+                         and cfg.mode_decision == "analysis")
         self.sps = params.SPS(
             pic_width=cfg.width, pic_height=cfg.height,
             bit_depth=cfg.bit_depth, ctb_log2=cfg.ctb_log2,
-            max_transform_hierarchy_depth_intra=0,
+            max_transform_hierarchy_depth_intra=1 if self._use_rqt else 0,
             sao_enabled=cfg.sao,
             strong_intra_smoothing=cfg.strong_intra_smoothing)
         self.pps = params.PPS(init_qp=26,
@@ -85,15 +93,17 @@ class IntraEncoder:
 
     def _decide(self, y: np.ndarray):
         """Partition + shared-mode decision.
-        Returns (depth8 [h/8,w/8] uint8, mode8 [h/8,w/8] int32 or None)."""
+        Returns (depth8 [h/8,w/8] uint8 (3 = NxN), mode4 [h/4,w/4] int32
+        or None)."""
         cfg = self.cfg
         w, h = cfg.width, cfg.height
         if cfg.cu_log2 is not None:
             depth8 = np.full((h // 8, w // 8),
                              cfg.ctb_log2 - cfg.cu_log2, np.uint8)
-            return depth8, None   # in-loop RMD (TU = CU, one mode per CU)
+            return depth8, None, None  # in-loop RMD (TU = CU)
         if cfg.mode_decision == "rmd":
-            return np.full((h // 8, w // 8), cfg.ctb_log2 - 3, np.uint8), None
+            return (np.full((h // 8, w // 8), cfg.ctb_log2 - 3, np.uint8),
+                    None, None)
         # true-RD analysis at every CU size on a 32-aligned padded copy
         # (uint8/uint16 upload; rd_costs casts on device)
         pw, ph = -w % 32, -h % 32
@@ -103,20 +113,46 @@ class IntraEncoder:
         rd8, m8 = partition.rd_costs(ypj, 8, cfg.qp, cfg.bit_depth)
         rd16, m16 = partition.rd_costs(ypj, 16, cfg.qp, cfg.bit_depth)
         rd32, m32 = partition.rd_costs(ypj, 32, cfg.qp, cfg.bit_depth)
-        depth, mode = partition.decide(rd8, rd16, rd32, m8, m16, m32,
-                                       cfg.qp, cfg.ctb_log2)
-        depth, mode = jax.device_get((depth, mode))  # one roundtrip
+        if self._use_rqt:
+            rd4, m4 = partition.rd_costs(ypj, 4, cfg.qp, cfg.bit_depth)
+            if not cfg.nxn:
+                rd4 = rd4 + np.float32(1e18)   # NxN arm never wins
+            up2 = lambda a: jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)
+            rd8f16 = partition.rd_costs_forced(ypj, up2(m16), 8, cfg.qp,
+                                               cfg.bit_depth)
+            rd16f32 = partition.rd_costs_forced(ypj, up2(m32), 16, cfg.qp,
+                                                cfg.bit_depth)
+            depth, mode4, tulog8 = partition.decide_rqt(
+                rd4, rd8, rd16, rd32, rd8f16, rd16f32,
+                m4, m8, m16, m32, cfg.qp, cfg.ctb_log2)
+            depth, mode4, tulog8 = jax.device_get((depth, mode4, tulog8))
+            return (depth[:h // 8, :w // 8].astype(np.uint8),
+                    mode4[:h // 4, :w // 4].astype(np.int32),
+                    tulog8[:h // 8, :w // 8].astype(np.uint8))
+        if cfg.nxn:
+            rd4, m4 = partition.rd_costs(ypj, 4, cfg.qp, cfg.bit_depth)
+            depth, mode4 = partition.decide_nxn(
+                rd4, rd8, rd16, rd32, m4, m8, m16, m32, cfg.qp,
+                cfg.ctb_log2)
+        else:
+            depth, mode8 = partition.decide(rd8, rd16, rd32, m8, m16, m32,
+                                            cfg.qp, cfg.ctb_log2)
+            mode4 = jnp.repeat(jnp.repeat(mode8, 2, 0), 2, 1)
+        depth, mode4 = jax.device_get((depth, mode4))  # one roundtrip
         return (depth[:h // 8, :w // 8].astype(np.uint8),
-                mode[:h // 8, :w // 8].astype(np.int32))
+                mode4[:h // 4, :w // 4].astype(np.int32), None)
 
-    def _schedule(self, depth8: np.ndarray):
+    def _schedule(self, depth8: np.ndarray, tulog8=None):
         """Schedule + scatter indices, cached per partition geometry.
 
         The wavefront schedule depends only on the leaf structure; re-deriving
         it per frame costs ~0.1 s host time at 1080p (TEncSlice.cpp:1000's
         per-CTU walk has no equivalent cache because HM re-decides per CTU).
+        tulog8: optional per-8x8-cell TU log2 (residual quadtree: a CU leaf
+        whose tulog8 < its size splits into four z-order sub-TUs).
         """
-        key = depth8.tobytes()
+        key = depth8.tobytes() + (tulog8.tobytes() if tulog8 is not None
+                                  else b"")
         cache = getattr(self, "_sched_cache", None)
         if cache is None:
             import collections
@@ -127,6 +163,18 @@ class IntraEncoder:
         cfg = self.cfg
         w, h = cfg.width, cfg.height
         leaves = wavefront.leaves_from_depth(depth8, w, h, cfg.ctb_log2)
+        if tulog8 is not None:
+            tu_leaves = []
+            for (x0, y0, lg) in leaves:
+                tl = int(tulog8[y0 // 8, x0 // 8])
+                if tl < lg:     # one RQT split level (max_hier_depth 1)
+                    hfs = 1 << (lg - 1)
+                    tu_leaves += [(x0, y0, lg - 1), (x0 + hfs, y0, lg - 1),
+                                  (x0, y0 + hfs, lg - 1),
+                                  (x0 + hfs, y0 + hfs, lg - 1)]
+                else:
+                    tu_leaves.append((x0, y0, lg))
+            leaves = tu_leaves
         sizes, data, nsteps = wavefront_scan.build_schedule(
             leaves, w, h, cfg.ctb_log2)
         tu4 = np.zeros((h // 4, w // 4), np.uint8)
@@ -143,10 +191,18 @@ class IntraEncoder:
             u = n // 4
             iy4 = pyv[:, None, None] // 4 + np.arange(u)[None, :, None]
             ix4 = pxv[:, None, None] // 4 + np.arange(u)[None, None, :]
-            u = n // 8
-            iy8 = pyv[:, None, None] // 8 + np.arange(u)[None, :, None]
-            ix8 = pxv[:, None, None] // 8 + np.arange(u)[None, None, :]
-            scat[log2] = (vm, iy4, ix4, iy8, ix8)
+            if log2 == 2:
+                # chroma cbf lands at the CU (8x8) cell, carried by the
+                # 4th PU of each NxN CU
+                car = (pxv % 8 == 4) & (pyv % 8 == 4)
+                iy8 = ((pyv[car] - 4) // 8)[:, None, None]
+                ix8 = ((pxv[car] - 4) // 8)[:, None, None]
+                scat[log2] = (vm, iy4, ix4, iy8, ix8, car)
+            else:
+                u = n // 8
+                iy8 = pyv[:, None, None] // 8 + np.arange(u)[None, :, None]
+                ix8 = pxv[:, None, None] // 8 + np.arange(u)[None, None, :]
+                scat[log2] = (vm, iy4, ix4, iy8, ix8)
         val = (leaves, sizes, data, tu4, scat)
         cache[key] = val
         while len(cache) > 8:        # bounded (advisor round-4 pattern)
@@ -157,17 +213,21 @@ class IntraEncoder:
     def _scatter_outputs(maps, sizes, scat, outs) -> None:
         for log2 in sizes:
             best, cbf_y, cbf_c = outs[log2]
-            vm, iy4, ix4, iy8, ix8 = scat[log2]
+            sc = scat[log2]
+            vm, iy4, ix4, iy8, ix8 = sc[:5]
             nb = best.shape[1]
             mv = np.asarray(best).ravel()[vm][:, None, None]
             cyv = np.asarray(cbf_y).ravel()[vm][:, None, None]
             cbf_c = np.asarray(cbf_c).reshape(best.shape[0], 2, nb)
-            cbv = cbf_c[:, 0].ravel()[vm][:, None, None]
-            crv = cbf_c[:, 1].ravel()[vm][:, None, None]
+            cbv = cbf_c[:, 0].ravel()[vm]
+            crv = cbf_c[:, 1].ravel()[vm]
+            if log2 == 2:
+                car = sc[5]
+                cbv, crv = cbv[car], crv[car]
             maps.mode4[iy4, ix4] = mv
             maps.cbf4_y[iy4, ix4] = cyv
-            maps.cbf8_cb[iy8, ix8] = cbv
-            maps.cbf8_cr[iy8, ix8] = crv
+            maps.cbf8_cb[iy8, ix8] = cbv[:, None, None]
+            maps.cbf8_cr[iy8, ix8] = crv[:, None, None]
 
     def encode_frame(self, y: np.ndarray, cb: np.ndarray,
                      cr: np.ndarray) -> bytes:
@@ -203,26 +263,39 @@ class IntraEncoder:
         t0 = _time.perf_counter()
         cfg = self.cfg
         w, h = cfg.width, cfg.height
-        depth8, mode8 = self._decide(y)
-        leaves, sizes, data, tu4, scat = self._schedule(depth8)
+        depth8, mode4, tulog8 = self._decide(y)
+        leaves, sizes, data, tu4, scat = self._schedule(depth8, tulog8)
         stats["decide_s"] = _time.perf_counter() - t0
 
-        maps = native.SliceMaps(w, h, cfg.ctb_log2, max_hier_depth=0)
+        maps = native.SliceMaps(
+            w, h, cfg.ctb_log2,
+            max_hier_depth=self.sps.max_transform_hierarchy_depth_intra)
         maps.sbh = int(cfg.sbh)
-        maps.depth8[:] = depth8
+        # depth 3 = NxN: CU depth is min-CU, part_mode = NxN (part8 == 3)
+        maps.depth8[:] = np.minimum(depth8, cfg.ctb_log2 - 3)
+        maps.part8[:] = np.where(depth8 == cfg.ctb_log2 - 2, 3, 0)
         maps.tu4[:] = tu4
 
         xs = {}
         for log2 in sizes:
             d = data[log2]
-            if mode8 is None:
+            if mode4 is None:
                 m = np.full(d["pos"].shape[:2], -1, np.int32)
             else:
-                px8 = np.where(d["valid"], d["pos"][..., 0], 0) // 8
-                py8 = np.where(d["valid"], d["pos"][..., 1], 0) // 8
-                m = np.where(d["valid"], mode8[py8, px8], 0).astype(np.int32)
+                px = np.where(d["valid"], d["pos"][..., 0], 0)
+                py = np.where(d["valid"], d["pos"][..., 1], 0)
+                m = np.where(d["valid"], mode4[py // 4, px // 4],
+                             0).astype(np.int32)
             xs[log2] = (jnp.asarray(d["pos"]), jnp.asarray(d["avail"]),
                         jnp.asarray(d["availc"]), jnp.asarray(m))
+            if log2 == 2:
+                # chroma DM mode for the CU carried by the 4th PU = the
+                # PU0 luma mode (chroma_cand_list DM slot)
+                px0 = (px // 8) * 8
+                py0 = (py // 8) * 8
+                cm = np.where(d["valid"], mode4[py0 // 4, px0 // 4],
+                              0).astype(np.int32)
+                xs[log2] = xs[log2] + (jnp.asarray(cm),)
 
         # uint8/uint16 upload (the device casts); pad rows are scratch
         pad = 1 << cfg.ctb_log2
@@ -246,7 +319,7 @@ class IntraEncoder:
             qp_c=qp_c, bit_depth=cfg.bit_depth,
             strong=cfg.strong_intra_smoothing, h=h, hc_off=hc_off,
             use_rdoq=cfg.rdoq, init_type=int(SliceType.I),
-            sbh=cfg.sbh, rmd=mode8 is None)
+            sbh=cfg.sbh, rmd=mode4 is None)
         stats["scan_s"] = _time.perf_counter() - t1
 
         t1 = _time.perf_counter()

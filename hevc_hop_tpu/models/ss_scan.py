@@ -132,7 +132,7 @@ def build_schedule_ss(blocks, w: int, h: int, ctb_log2: int, radius: int,
         bmax = max(1, int(counts.max()))
         # SS slots are very expensive (full-search SSE maps per slot):
         # quantize lightly, scaled down further for big CUs
-        slot_q = max(2, pad_slots >> (log2 - 3))
+        slot_q = max(2, pad_slots >> max(log2 - 3, 0))
         if pad_slots > 1:
             bmax = max(slot_q, -(-bmax // slot_q) * slot_q)
         pos = np.zeros((nsteps, bmax, 2), np.int32)
@@ -276,7 +276,8 @@ def _ss_search(recon, org, pos, zcur, zmaxw, rate_map, n, radius, w, h,
     zm2 = zmax2n[jnp.clip(wyy, 0, h - 2 * n), jnp.clip(wxx, 0, w - 2 * n)]
     mask2 = inb2 & (zm2 < zcur[:, None, None])
     cost2 = jnp.where(mask2, sse + rate_map, big).reshape(b, -1)
-    k = 2
+    k = 1   # IT_SS_NUMBER_OF_BEST_CAND (TypeDef.h:218) + the predictor
+    #         anchor appended by _gt_arm (IT_SS_USE_PREDICTORS)
     negc, idx2 = jax.lax.top_k(-cost2, k)          # [B, K]
     gt_ok = (-negc) < jnp.float32(1e37)
     gt_rate = jnp.take_along_axis(rate_map.reshape(b, -1), idx2, 1)

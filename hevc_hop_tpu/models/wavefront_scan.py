@@ -53,8 +53,19 @@ def build_schedule(blocks, w: int, h: int, ctb_log2: int,
     """
     from hevc_hop_tpu.entropy import native as _native
     arr = np.array(blocks, np.int32)
+    # NxN CUs: the 4th 4x4 PU carries the CU's 4x4 CHROMA TU, whose
+    # reference chain spans the whole 8x8 CU neighborhood — wider than the
+    # carrier's own luma chain, so its dependency rect is added explicitly
+    rects = None
+    if (arr[:, 2] == 2).any():
+        rects = np.zeros((len(arr), 4), np.int32)
+        car = ((arr[:, 2] == 2) & (arr[:, 0] % 8 == 4)
+               & (arr[:, 1] % 8 == 4))
+        rects[car] = np.stack(
+            [arr[car, 0] - 6, arr[car, 1] - 6,
+             np.full(car.sum(), 18), np.full(car.sum(), 18)], -1)
     levels = _native.wavefront_levels(arr[:, 0], arr[:, 1], arr[:, 2],
-                                      w, h, ctb_log2)
+                                      w, h, ctb_log2, mv_rect=rects)
     nsteps = int(levels.max()) if len(levels) else 0
     if pad_steps > 1:
         nsteps = max(pad_steps, -(-nsteps // pad_steps) * pad_steps)
@@ -72,7 +83,7 @@ def build_schedule(blocks, w: int, h: int, ctb_log2: int,
         bmax = max(1, int(counts.max()) if len(lv) else 0)
         # per-size quantum: a 32x32 slot costs 16x an 8x8 slot, so big
         # blocks use a finer bucket (same shape-reuse goal, less padding)
-        slot_q = max(2, pad_slots >> (log2 - 3))
+        slot_q = max(2, pad_slots >> max(log2 - 3, 0))
         if pad_slots > 1:
             bmax = max(slot_q, -(-bmax // slot_q) * slot_q)
         pos = np.zeros((nsteps, bmax, 2), np.int32)
@@ -91,13 +102,22 @@ def build_schedule(blocks, w: int, h: int, ctb_log2: int,
         fv = flat[vmf]
         avail = np.zeros((flat.shape[0], 4 * n + 1), bool)
         avail[vmf] = wavefront.avail_mask(fv, n, zplane, w, h)
-        availc = np.zeros((flat.shape[0], 2 * n + 1), bool)
-        availc[vmf] = wavefront.avail_mask(fv // 2, n // 2, czplane,
-                                           w // 2, h // 2)
+        if log2 == 2:
+            # chroma is a CU-level 4x4 TU carried by the 4th PU: chain of
+            # the 4x4 chroma block at the CU origin (others unused)
+            availc = np.zeros((flat.shape[0], 17), bool)
+            availc[vmf] = wavefront.avail_mask(
+                np.maximum(fv - 4, 0) // 2, 4, czplane, w // 2, h // 2)
+            clen = 17
+        else:
+            availc = np.zeros((flat.shape[0], 2 * n + 1), bool)
+            availc[vmf] = wavefront.avail_mask(fv // 2, n // 2, czplane,
+                                               w // 2, h // 2)
+            clen = 2 * n + 1
         data[log2] = dict(
             pos=pos, valid=valid,
             avail=avail.reshape(nsteps, bmax, 4 * n + 1),
-            availc=availc.reshape(nsteps, bmax, 2 * n + 1))
+            availc=availc.reshape(nsteps, bmax, clen))
     return sizes, data, nsteps
 
 
@@ -224,19 +244,36 @@ def scan_encode(org_y, org_c, xs, sizes: tuple, qp: int, qp_c: int,
         ys = {}
         for log2 in sizes:
             n = 1 << log2
-            p, al, ac, m = x[log2]
+            if log2 == 2:
+                p, al, ac, m, cmv = x[log2]
+            else:
+                p, al, ac, m = x[log2]
             ry, lev_y, best, cbf = _enc_plane_ys(
                 ry, org_y, p, al, m, n, qp, 0, bit_depth, strong, rcfg_y,
                 sbh, rmd=rmd)
-            pc = p // 2
-            pc = pc.at[:, 1].set(jnp.where(p[:, 1] >= h, hc, pc[:, 1]))
-            pcc = jnp.concatenate(
-                [pc, pc + jnp.array([0, hc_off], jnp.int32)], 0)
-            acc = jnp.concatenate([ac, ac], 0)
-            mc = jnp.concatenate([best, best], 0)
-            rc, lev_c, _, cbf_c = _enc_plane_ys(
-                rc, org_c, pcc, acc, mc, n // 2, qp_c, 1, bit_depth, strong,
-                rcfg_c, sbh, rmd=False)
+            if log2 == 2:
+                # NxN: the 4th PU carries the CU-level 4x4 chroma TU;
+                # non-carriers predict into the chroma scratch rows
+                carrier = (p[:, 0] % 8 == 4) & (p[:, 1] % 8 == 4)
+                cup = jnp.where(carrier[:, None], (p - 4) // 2,
+                                jnp.array([0, hc], jnp.int32))
+                pcc = jnp.concatenate(
+                    [cup, cup + jnp.array([0, hc_off], jnp.int32)], 0)
+                acc = jnp.concatenate([ac, ac], 0)
+                mc = jnp.concatenate([cmv, cmv], 0)
+                rc, lev_c, _, cbf_c = _enc_plane_ys(
+                    rc, org_c, pcc, acc, mc, 4, qp_c, 1, bit_depth,
+                    strong, rcfg_c, sbh, rmd=False)
+            else:
+                pc = p // 2
+                pc = pc.at[:, 1].set(jnp.where(p[:, 1] >= h, hc, pc[:, 1]))
+                pcc = jnp.concatenate(
+                    [pc, pc + jnp.array([0, hc_off], jnp.int32)], 0)
+                acc = jnp.concatenate([ac, ac], 0)
+                mc = jnp.concatenate([best, best], 0)
+                rc, lev_c, _, cbf_c = _enc_plane_ys(
+                    rc, org_c, pcc, acc, mc, n // 2, qp_c, 1, bit_depth,
+                    strong, rcfg_c, sbh, rmd=False)
             ys[log2] = (lev_y, lev_c, best, cbf, cbf_c)
         return (ry, rc), ys
 
@@ -253,13 +290,23 @@ def scan_encode(org_y, org_c, xs, sizes: tuple, qp: int, qp_c: int,
         s, b = p.shape[:2]
         rows, cols = _block_idx(p.reshape(s * b, 2), n)
         coef_y = coef_y.at[rows, cols].set(lev_y.reshape(s * b, n, n))
-        pc = p // 2
-        pc = pc.at[:, :, 1].set(jnp.where(p[:, :, 1] >= h, hc, pc[:, :, 1]))
-        pcc = jnp.concatenate(
-            [pc, pc + jnp.array([0, hc_off], jnp.int32)], 1)
-        rows, cols = _block_idx(pcc.reshape(s * 2 * b, 2), n // 2)
+        if log2 == 2:
+            carrier = (p[..., 0] % 8 == 4) & (p[..., 1] % 8 == 4)
+            cup = jnp.where(carrier[..., None], (p - 4) // 2,
+                            jnp.array([0, hc], jnp.int32))
+            pcc = jnp.concatenate(
+                [cup, cup + jnp.array([0, hc_off], jnp.int32)], 1)
+            mc2 = 4
+        else:
+            pc = p // 2
+            pc = pc.at[:, :, 1].set(
+                jnp.where(p[:, :, 1] >= h, hc, pc[:, :, 1]))
+            pcc = jnp.concatenate(
+                [pc, pc + jnp.array([0, hc_off], jnp.int32)], 1)
+            mc2 = n // 2
+        rows, cols = _block_idx(pcc.reshape(s * 2 * b, 2), mc2)
         coef_c = coef_c.at[rows, cols].set(
-            lev_c.reshape(s * 2 * b, n // 2, n // 2))
+            lev_c.reshape(s * 2 * b, mc2, mc2))
         outs[log2] = (best, cbf, cbf_c)
     # int8 views halve the device->host coefficient traffic; the (rare)
     # frames with |level| > 127 raise `wide` and the caller fetches int16
@@ -296,10 +343,18 @@ def scan_decode(resi_y, resi_cb, resi_cr, xs, sizes: tuple, bit_depth: int,
             n = 1 << log2
             p, al, ac, m, cm = x[log2]
             ry = dec_plane(ry, resi_y, p, al, m, n, 0)
-            pc = p // 2
-            pc = pc.at[:, 1].set(jnp.where(p[:, 1] >= h, h // 2, pc[:, 1]))
-            rcb = dec_plane(rcb, resi_cb, pc, ac, cm, n // 2, 1)
-            rcr = dec_plane(rcr, resi_cr, pc, ac, cm, n // 2, 2)
+            if log2 == 2:
+                carrier = (p[:, 0] % 8 == 4) & (p[:, 1] % 8 == 4)
+                pc = jnp.where(carrier[:, None], (p - 4) // 2,
+                               jnp.array([0, h // 2], jnp.int32))
+                mc2 = 4
+            else:
+                pc = p // 2
+                pc = pc.at[:, 1].set(
+                    jnp.where(p[:, 1] >= h, h // 2, pc[:, 1]))
+                mc2 = n // 2
+            rcb = dec_plane(rcb, resi_cb, pc, ac, cm, mc2, 1)
+            rcr = dec_plane(rcr, resi_cr, pc, ac, cm, mc2, 2)
         return (ry, rcb, rcr), None
 
     (ry, rcb, rcr), _ = jax.lax.scan(step, (ry, rcb, rcr), xs)

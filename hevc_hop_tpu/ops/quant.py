@@ -24,6 +24,7 @@ def quant(coef: jnp.ndarray, qp: int, log2_size: int, bit_depth: int = 8,
     qbits = QUANT_SHIFT + qp/6 + transformShift, offset 171/85 << (qbits-9)
     (intra/inter), exactly TComTrQuant.cpp:1040-1075.
     """
+    qp = qp + 6 * (bit_depth - 8)   # QpBdOffset (H.265 8.6.1 QP'Y)
     per, rem = qp // 6, qp % 6
     tr_shift = rom.MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
     qbits = rom.QUANT_SHIFT + per + tr_shift
@@ -42,6 +43,7 @@ def dequant(level: jnp.ndarray, qp: int, log2_size: int,
               ((level * 16 * levelScale[qp%6] << (qp/6)) + (1 << (bd-1))) >> bd)
     with bd = bitDepth + log2(nTbS) - 5.
     """
+    qp = qp + 6 * (bit_depth - 8)   # QpBdOffset (H.265 8.6.1 QP'Y)
     per, rem = qp // 6, qp % 6
     bd_shift = bit_depth + log2_size - 5
     scale = (int(rom.INV_QUANT_SCALES[rem]) * 16) << per

@@ -54,6 +54,30 @@ def test_hm_decodes_our_stream(tmp_path, w, h, cu_log2, qp):
     assert out.read_bytes() == ref.read_bytes(), "HM decode != our recon"
 
 
+def test_hm_decodes_nxn_stream(tmp_path):
+    """NxN intra (part_mode + four 4x4 PUs/TUs with DST) decoded by the
+    reference decoder (TEncSbac part_mode, TComTrQuant 4x4 DST)."""
+    import numpy as np
+    rng = np.random.default_rng(0)
+    w, h = 192, 128
+    y = rng.integers(0, 256, (h, w)).astype(np.int32)
+    cb = rng.integers(100, 156, (h // 2, w // 2)).astype(np.int32)
+    cr = rng.integers(100, 156, (h // 2, w // 2)).astype(np.int32)
+    enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=22, nxn=True))
+    stream = enc.encode_frame(y, cb, cr)
+    depth8 = enc._decide(y)[0]
+    assert (depth8 == 3).sum() > 0, "NxN never engaged (weak fixture)"
+    bs = tmp_path / "nxn.bin"
+    bs.write_bytes(stream)
+    out = tmp_path / "dec.yuv"
+    r = subprocess.run([HM_DEC, "-b", str(bs), "-o", str(out)],
+                       capture_output=True, timeout=60)
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    ref = tmp_path / "recon.yuv"
+    write_yuv420(str(ref), [enc.recon_yuv])
+    assert out.read_bytes() == ref.read_bytes(), "HM decode != our recon"
+
+
 # ---------------------------------------------------------------------------
 # Holoscopic (ISS/PSS/GT) conformance: the IT extension's syntax decoded by
 # the reference decoder (TDecCAVLC.cpp:842-846 I->ISS remap,
