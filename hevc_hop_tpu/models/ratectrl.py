@@ -52,15 +52,28 @@ class RateControl:
         (TEncRCPic::updateAfterPicture)."""
         qp, lam_used = self._pending
         bpp = max(actual_bits / self.pixels, 1e-7)
+        prev = getattr(self, "_last_obs", None)
         if not self.history:
             # one-shot refit from the first observation: the generic
             # alpha seed can be far off for arbitrary content
+            self.alpha = lam_used / (bpp ** self.beta)
+        elif (prev is not None
+              and abs(math.log(bpp) - math.log(prev[1])) > 0.05
+              and abs(math.log(lam_used) - math.log(prev[0])) > 1e-6):
+            # two-point slope refit: the generic beta badly misjudges how
+            # steeply lambda moves bits on some content, and the HM
+            # per-picture nudge takes dozens of pictures to catch up
+            b_est = ((math.log(lam_used) - math.log(prev[0]))
+                     / (math.log(bpp) - math.log(prev[1])))
+            b_est = max(BETA_MIN, min(BETA_MAX, b_est))
+            self.beta = 0.5 * self.beta + 0.5 * b_est
             self.alpha = lam_used / (bpp ** self.beta)
         else:
             lam_comp = self._lambda(bpp)
             delta = math.log(lam_used) - math.log(lam_comp)
             self.alpha += DELTA_ALPHA * delta * self.alpha
             self.beta += DELTA_BETA * delta * math.log(bpp)
+        self._last_obs = (lam_used, bpp)
         self.alpha = max(ALPHA_MIN, min(ALPHA_MAX, self.alpha))
         self.beta = max(BETA_MIN, min(BETA_MAX, self.beta))
         self.last_qp = qp

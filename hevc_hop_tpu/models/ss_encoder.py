@@ -171,21 +171,37 @@ class HoloEncoder:
         return prep
 
     def _frame_prep(self, y: np.ndarray, ref_y=None):
-        """Per-frame partition choice: quadtree pre-pass when enabled."""
+        """Per-frame partition + intra-mode choice (quadtree pre-pass).
+
+        Returns (prep, mode4 or None): mode4 carries the pre-pass's
+        RD-chosen intra modes into the scan (fixed_mode path)."""
         cfg = self.cfg
         if not cfg.quadtree:
-            return self._prep()
+            return self._prep(), None
         from hevc_hop_tpu.models import ss_partition, wavefront
         assert cfg.width % (1 << cfg.ctb_log2) == 0 \
             and cfg.height % (1 << cfg.ctb_log2) == 0, \
             "quadtree mode needs CTB-aligned dims"
-        depth8 = ss_partition.decide(
+        depth8, mode4 = ss_partition.decide(
             np.asarray(y), cfg.qp, cfg.ctb_log2, cfg.search_range,
             cfg.mi_size, cfg.bit_depth, ref_y)
         self._depth8 = depth8
         leaves = wavefront.leaves_from_depth(
             depth8, cfg.width, cfg.height, cfg.ctb_log2)
-        return self._prep(leaves, key=depth8.tobytes())
+        return self._prep(leaves, key=depth8.tobytes()), mode4
+
+    @staticmethod
+    def _xs_with_modes(xs, data, sizes, mode4):
+        """Append the per-block pre-pass intra mode to each size's xs."""
+        out = {}
+        for log2 in sizes:
+            d = data[log2]
+            px = np.where(d["valid"], d["pos"][..., 0], 0)
+            py = np.where(d["valid"], d["pos"][..., 1], 0)
+            im = np.where(d["valid"], mode4[py // 4, px // 4],
+                          0).astype(np.int32)
+            out[log2] = xs[log2] + (jnp.asarray(im),)
+        return out
 
     def _upload(self, y, cb, cr):
         cfg = self.cfg
@@ -252,7 +268,9 @@ class HoloEncoder:
         w, h = cfg.width, cfg.height
         qp, qp_c = cfg.qp, rom.chroma_qp_from_luma(cfg.qp)
         radius = cfg.search_range
-        sizes, data, zmaxw, zmax2n, xs, scat = self._frame_prep(y)
+        (sizes, data, zmaxw, zmax2n, xs, scat), mode4 = self._frame_prep(y)
+        if mode4 is not None:
+            xs = self._xs_with_modes(xs, data, sizes, mode4)
         org_y, org_cb, org_cr = self._upload(y, cb, cr)
 
         ry, rcb, rcr, coef_y, coef_cb, coef_cr, outs = ss_scan.scan_encode_iss(
@@ -260,7 +278,7 @@ class HoloEncoder:
             sizes=sizes, qp=qp, qp_c=qp_c, bit_depth=cfg.bit_depth,
             strong=cfg.strong_intra_smoothing, w=w, h=h, radius=radius,
             mi_size=cfg.mi_size, gt=cfg.gt, use_rdoq=cfg.rdoq,
-            sbh=cfg.sbh)
+            sbh=cfg.sbh, fixed_mode=mode4 is not None)
 
         maps = native.SliceMaps(w, h, cfg.ctb_log2, max_hier_depth=0)
         maps.slice_type = int(SliceType.ISS)
@@ -306,8 +324,10 @@ class HoloEncoder:
         w, h = cfg.width, cfg.height
         qp, qp_c = cfg.qp, rom.chroma_qp_from_luma(cfg.qp)
         radius = cfg.search_range
-        sizes, data, zmaxw, zmax2n, xs, scat = self._frame_prep(
+        (sizes, data, zmaxw, zmax2n, xs, scat), mode4 = self._frame_prep(
             y, ref_y=np.asarray(self.recon_yuv[0]))
+        if mode4 is not None:
+            xs = self._xs_with_modes(xs, data, sizes, mode4)
         org_y, org_cb, org_cr = self._upload(y, cb, cr)
         ref_y, ref_cb, ref_cr = (jnp.asarray(p, jnp.int32)
                                  for p in self._recon_dev)
@@ -319,7 +339,8 @@ class HoloEncoder:
                 qp=qp, qp_c=qp_c, bit_depth=cfg.bit_depth,
                 strong=cfg.strong_intra_smoothing, w=w, h=h, radius=radius,
                 radius_t=cfg.search_range_t, mi_size=cfg.mi_size,
-                gt=cfg.gt, use_rdoq=cfg.rdoq, sbh=cfg.sbh)
+                gt=cfg.gt, use_rdoq=cfg.rdoq, sbh=cfg.sbh,
+                fixed_mode=mode4 is not None)
 
         maps = native.SliceMaps(w, h, cfg.ctb_log2, max_hier_depth=0)
         maps.slice_type = int(SliceType.PSS)

@@ -81,9 +81,11 @@ def _ss_rd_size(org_y, ref_y, pos, zcur, zmaxw, n: int, qp: int,
 
 def decide(y: np.ndarray, qp: int, ctb_log2: int, radius: int,
            mi_size: int, bit_depth: int = 8,
-           ref_y: np.ndarray | None = None) -> np.ndarray:
-    """Quadtree depth map [h//8, w//8] for an ISS (ref_y None) or PSS
-    picture. Luma-only decision (chroma follows), CU sizes 8/16/32."""
+           ref_y: np.ndarray | None = None):
+    """Quadtree depth map [h//8, w//8] + per-4x4 intra mode map for an
+    ISS (ref_y None) or PSS picture. Luma-only decision (chroma follows),
+    CU sizes 8/16/32. The RD-chosen intra modes feed the wavefront scan
+    so its intra arm skips the 35-mode sweep (estIntraPredQT analog)."""
     h, w = y.shape
     org = jnp.asarray(y, jnp.int32)
     ref = jnp.asarray(ref_y, jnp.int32) if ref_y is not None else org
@@ -103,6 +105,9 @@ def decide(y: np.ndarray, qp: int, ctb_log2: int, radius: int,
                             ref_y is not None).reshape(by, bx)
         costs[log2] = jnp.minimum(icost, scost)
         modes[log2] = imode
-    depth8, _ = partition.decide(costs[3], costs[4], costs[5],
-                                 modes[3], modes[4], modes[5], qp, ctb_log2)
-    return np.asarray(depth8)
+    depth8, mode8 = partition.decide(costs[3], costs[4], costs[5],
+                                     modes[3], modes[4], modes[5], qp,
+                                     ctb_log2)
+    depth8, mode8 = np.asarray(depth8), np.asarray(mode8)
+    mode4 = np.repeat(np.repeat(mode8, 2, 0), 2, 1).astype(np.int32)
+    return depth8, mode4

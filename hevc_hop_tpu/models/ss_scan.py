@@ -703,12 +703,13 @@ def _tqr(org, pred, n, qp, bit_depth, rdoq_cfg=None, scan_id=None,
 
 @functools.partial(jax.jit, static_argnames=(
     "sizes", "qp", "qp_c", "bit_depth", "strong", "w", "h", "radius",
-    "mi_size", "gt", "use_rdoq", "sbh"))
+    "mi_size", "gt", "use_rdoq", "sbh", "fixed_mode"))
 def scan_encode_iss(org_y, org_cb, org_cr, xs, zmaxw, zmax2n,
                     sizes: tuple, qp: int, qp_c: int, bit_depth: int,
                     strong: bool, w: int, h: int, radius: int,
                     mi_size: int = 0, gt: bool = False,
-                    use_rdoq: bool = False, sbh: bool = False):
+                    use_rdoq: bool = False, sbh: bool = False,
+                    fixed_mode: bool = False):
     """ISS whole-frame encode as one scan.
 
     xs: {log2: (pos [S,B,2], avail, availc, zcur [S,B], nbav [S,B,5],
@@ -740,19 +741,29 @@ def scan_encode_iss(org_y, org_cb, org_cr, xs, zmaxw, zmax2n,
         for log2 in sizes:
             n = 1 << log2
             m = n // 2
-            pos, avail, availc, zcur, nbav, miav = x[log2]
+            if fixed_mode:
+                pos, avail, availc, zcur, nbav, miav, im = x[log2]
+            else:
+                pos, avail, availc, zcur, nbav, miav = x[log2]
             rows, cols = _block_idx(pos, n)
             org = org_y[rows, cols]
             of = org.astype(jnp.float32)
 
-            # intra candidate
+            # intra candidate: pre-pass RD-chosen mode when available
+            # (single-mode predict), else in-loop 35-mode SATD RMD
             chains = intra.substitute_refs(_gather_chains(ry, pos, n),
                                            avail, bit_depth)
-            preds = intra.predict_all_modes(chains, n, 0, bit_depth, strong)
-            scosts = intra.satd(org[:, None], preds)
-            imode = jnp.argmin(scosts, axis=1).astype(jnp.int32)
-            ipred = jnp.take_along_axis(
-                preds, imode[:, None, None, None], axis=1)[:, 0]
+            if fixed_mode:
+                imode = im
+                ipred = intra.predict_mode(chains, imode, n, 0, bit_depth,
+                                           strong)
+            else:
+                preds = intra.predict_all_modes(chains, n, 0, bit_depth,
+                                                strong)
+                scosts = intra.satd(org[:, None], preds)
+                imode = jnp.argmin(scosts, axis=1).astype(jnp.int32)
+                ipred = jnp.take_along_axis(
+                    preds, imode[:, None, None, None], axis=1)[:, 0]
             icost = jnp.sum((org - ipred).astype(jnp.float32) ** 2,
                             axis=(1, 2)) + lam_i
 
@@ -828,9 +839,8 @@ def scan_encode_iss(org_y, org_cb, org_cr, xs, zmaxw, zmax2n,
                 orgc = orgp[crows, ccols]
                 ch = intra.substitute_refs(_gather_chains(rc, cpos, m),
                                            availc, bit_depth)
-                cpreds = intra.predict_all_modes(ch, m, 1, bit_depth, strong)
-                cip = jnp.take_along_axis(
-                    cpreds, imode[:, None, None, None], axis=1)[:, 0]
+                cip = intra.predict_mode(ch, imode, m, 1, bit_depth,
+                                         strong)
                 cmc = interp.chroma_mc_q(rc, cpos, mv, m, h // 2, bit_depth)
                 cpred = jnp.where(inter[:, None, None], cmc, cip)
                 if gt:
@@ -858,13 +868,14 @@ def scan_encode_iss(org_y, org_cb, org_cr, xs, zmaxw, zmax2n,
 
 @functools.partial(jax.jit, static_argnames=(
     "sizes", "qp", "qp_c", "bit_depth", "strong", "w", "h", "radius",
-    "radius_t", "mi_size", "gt", "use_rdoq", "sbh"))
+    "radius_t", "mi_size", "gt", "use_rdoq", "sbh", "fixed_mode"))
 def scan_encode_pss(org_y, org_cb, org_cr, ref_y, ref_cb, ref_cr,
                     xs, zmaxw, zmax2n,
                     sizes: tuple, qp: int, qp_c: int, bit_depth: int,
                     strong: bool, w: int, h: int, radius: int,
                     radius_t: int, mi_size: int = 0, gt: bool = False,
-                    use_rdoq: bool = False, sbh: bool = False):
+                    use_rdoq: bool = False, sbh: bool = False,
+                    fixed_mode: bool = False):
     """PSS whole-frame encode: intra / temporal / SS / merge / GT
     tournament, qpel throughout.
 
@@ -895,18 +906,27 @@ def scan_encode_pss(org_y, org_cb, org_cr, ref_y, ref_cb, ref_cr,
         for log2 in sizes:
             n = 1 << log2
             m = n // 2
-            pos, avail, availc, zcur, nbav, miav = x[log2]
+            if fixed_mode:
+                pos, avail, availc, zcur, nbav, miav, im = x[log2]
+            else:
+                pos, avail, availc, zcur, nbav, miav = x[log2]
             rows, cols = _block_idx(pos, n)
             org = org_y[rows, cols]
             of = org.astype(jnp.float32)
 
             chains = intra.substitute_refs(_gather_chains(ry, pos, n),
                                            avail, bit_depth)
-            preds = intra.predict_all_modes(chains, n, 0, bit_depth, strong)
-            scosts = intra.satd(org[:, None], preds)
-            imode = jnp.argmin(scosts, axis=1).astype(jnp.int32)
-            ipred = jnp.take_along_axis(
-                preds, imode[:, None, None, None], axis=1)[:, 0]
+            if fixed_mode:
+                imode = im
+                ipred = intra.predict_mode(chains, imode, n, 0, bit_depth,
+                                           strong)
+            else:
+                preds = intra.predict_all_modes(chains, n, 0, bit_depth,
+                                                strong)
+                scosts = intra.satd(org[:, None], preds)
+                imode = jnp.argmin(scosts, axis=1).astype(jnp.int32)
+                ipred = jnp.take_along_axis(
+                    preds, imode[:, None, None, None], axis=1)[:, 0]
             icost = jnp.sum((org - ipred).astype(jnp.float32) ** 2,
                             axis=(1, 2)) + lam_i
 
@@ -997,9 +1017,8 @@ def scan_encode_pss(org_y, org_cb, org_cr, ref_y, ref_cb, ref_cr,
                 orgc = orgp[crows, ccols]
                 ch = intra.substitute_refs(_gather_chains(rc, cpos, m),
                                            availc, bit_depth)
-                cpreds = intra.predict_all_modes(ch, m, 1, bit_depth, strong)
-                cip = jnp.take_along_axis(
-                    cpreds, imode[:, None, None, None], axis=1)[:, 0]
+                cip = intra.predict_mode(ch, imode, m, 1, bit_depth,
+                                         strong)
                 css = interp.chroma_mc_q(rc, cpos, mv, m, h // 2, bit_depth)
                 ct = interp.chroma_mc_q(refc, cpos, mv, m, h // 2, bit_depth)
                 cpred = jnp.where(

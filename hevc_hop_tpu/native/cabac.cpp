@@ -20,6 +20,10 @@
 #include "gen/cabac_tables.h"
 #include "gen/ctx_layout.h"
 
+// staged sign_data_hiding flag (see encode_residual): set by
+// hevc_set_sbh, consumed by fill_maps on the same thread
+static thread_local int t_sbh = 0;
+
 namespace {
 
 // Optional per-context bin statistics: when set (hevc_set_bin_counts), every
@@ -390,12 +394,15 @@ struct ResidualCommon {
 // sign_data_hiding_enabled_flag (PPS): when on, each 4x4 coefficient
 // group with lastNZ-firstNZ >= 4 in scan order omits the sign of its
 // first nonzero; the decoder infers it from the abs-level parity
-// (HEVC 7.3.8.11; TComTrQuant.cpp:868 signBitHidingHDQ). Set once per
-// slice-data call, read-only during the walk.
-static int g_sbh = 0;
+// (HEVC 7.3.8.11; TComTrQuant.cpp:868 signBitHidingHDQ). Carried in
+// FrameMaps.sbh / passed per call — a process-wide mutable global would
+// leak state between independent instances (advisor round-4). The
+// thread-local below only stages the value between hevc_set_sbh and
+// fill_maps on the same thread.
 
 static void encode_residual(CabacEnc& e, uint8_t* ctx, const int16_t* coef,
-                            int stride, int log2, int c_idx, int intra_mode) {
+                            int stride, int log2, int c_idx, int intra_mode,
+                            int sbh) {
   ResidualCommon rc;
   rc.setup(log2, c_idx, intra_mode);
   const int num_coef = rc.n * rc.n;
@@ -518,7 +525,7 @@ static void encode_residual(CabacEnc& e, uint8_t* ctx, const int16_t* coef,
 
     // signs; with SBH the first nonzero's sign (= last collected) is
     // hidden and carried by the abs-level parity the quantizer enforced
-    bool sign_hidden = g_sbh && n_sig > 0 &&
+    bool sign_hidden = sbh && n_sig > 0 &&
                        (sig_p[0] - sig_p[n_sig - 1] >= 4);
     for (int i = 0; i < n_sig - (sign_hidden ? 1 : 0); i++)
       e.bypass(sig_lev[i] < 0);
@@ -552,7 +559,8 @@ static void encode_residual(CabacEnc& e, uint8_t* ctx, const int16_t* coef,
 }
 
 static void decode_residual(CabacDec& d, uint8_t* ctx, int16_t* coef,
-                            int stride, int log2, int c_idx, int intra_mode) {
+                            int stride, int log2, int c_idx, int intra_mode,
+                            int sbh) {
   ResidualCommon rc;
   rc.setup(log2, c_idx, intra_mode);
 
@@ -647,7 +655,7 @@ static void decode_residual(CabacDec& d, uint8_t* ctx, int16_t* coef,
     if (first_c2_idx >= 0)
       levels[first_c2_idx] += d.bin(ctx, abs_base + ctx_set);
 
-    bool sign_hidden = g_sbh && n_sig > 0 &&
+    bool sign_hidden = sbh && n_sig > 0 &&
                        (sig_pos[0] - sig_pos[n_sig - 1] >= 4);
     int signs[16];
     for (int i = 0; i < n_sig - (sign_hidden ? 1 : 0); i++)
@@ -693,6 +701,7 @@ static void decode_residual(CabacDec& d, uint8_t* ctx, int16_t* coef,
 // ---------------------------------------------------------------------------
 
 struct FrameMaps {
+  int sbh = 0;
   int pic_w, pic_h, ctb_log2;
   int max_hier_depth;  // SPS max_transform_hierarchy_depth_intra
   int u8_w, u8_h, u4_w, u4_h;
@@ -996,7 +1005,7 @@ struct SliceEncoder {
 
   void residual_luma(int x, int y, int log2) {
     encode_residual(e, ctx, m.coef_y + (int64_t)y * m.stride_y + x, m.stride_y,
-                    log2, 0, m.luma_mode_at(x, y));
+                    log2, 0, m.luma_mode_at(x, y), m.sbh);
   }
   void residual_chroma(int x, int y, int log2c, int c_idx) {
     // x,y luma coords of the chroma TU origin (times two of chroma coords)
@@ -1005,7 +1014,7 @@ struct SliceEncoder {
     int16_t* plane = c_idx == 1 ? m.coef_cb : m.coef_cr;
     encode_residual(e, ctx,
                     plane + (int64_t)(y >> 1) * m.stride_c + (x >> 1),
-                    m.stride_c, log2c, c_idx, cmode);
+                    m.stride_c, log2c, c_idx, cmode, m.sbh);
   }
 
   // returns nothing; maps fully describe the tree (tu4 = desired TU log2)
@@ -1472,7 +1481,7 @@ struct SliceDecoder {
 
   void residual_luma(int x, int y, int log2) {
     decode_residual(d, ctx, m.coef_y + (int64_t)y * m.stride_y + x, m.stride_y,
-                    log2, 0, m.luma_mode_at(x, y));
+                    log2, 0, m.luma_mode_at(x, y), m.sbh);
   }
   void residual_chroma(int x, int y, int log2c, int c_idx) {
     int cmode = m.cmode8[(y >> 3) * m.u8_w + (x >> 3)];
@@ -1480,7 +1489,7 @@ struct SliceDecoder {
     int16_t* plane = c_idx == 1 ? m.coef_cb : m.coef_cr;
     decode_residual(d, ctx,
                     plane + (int64_t)(y >> 1) * m.stride_c + (x >> 1),
-                    m.stride_c, log2c, c_idx, cmode);
+                    m.stride_c, log2c, c_idx, cmode, m.sbh);
   }
 
   void transform_tree(int x, int y, int log2, int td, bool intra_split,
@@ -1973,6 +1982,7 @@ static void fill_maps(FrameMaps& m, int pic_w, int pic_h, int ctb_log2,
   m.coef_cr = coef_cr;
   m.stride_y = pic_w;
   m.stride_c = pic_w >> 1;
+  m.sbh = t_sbh;
 }
 
 }  // namespace
@@ -1990,7 +2000,7 @@ int hevc_num_ctx(void) { return NUM_CTX; }
 void hevc_set_bin_counts(uint64_t* p) { g_bin_counts = p; }
 
 // toggle sign_data_hiding for subsequent slice-data / residual calls
-void hevc_set_sbh(int on) { g_sbh = on; }
+void hevc_set_sbh(int on) { t_sbh = on; }
 
 int64_t hevc_encode_slice_data(
     const uint8_t* ctx_states, int pic_w, int pic_h, int ctb_log2,
@@ -2264,7 +2274,7 @@ int64_t residual_encode_one(const uint8_t* init_states, const int16_t* coef,
   std::vector<uint8_t> buf;
   CabacEnc e;
   e.out = &buf;
-  encode_residual(e, ctx.data(), coef, 1 << log2, log2, c_idx, intra_mode);
+  encode_residual(e, ctx.data(), coef, 1 << log2, log2, c_idx, intra_mode, 0);
   e.terminate(1);
   e.finish();
   e.byte_align_with_stop_bit();
@@ -2281,7 +2291,7 @@ int64_t residual_decode_one(const uint8_t* init_states, int16_t* coef,
   d.data = data;
   d.size = size;
   d.start();
-  decode_residual(d, ctx.data(), coef, 1 << log2, log2, c_idx, intra_mode);
+  decode_residual(d, ctx.data(), coef, 1 << log2, log2, c_idx, intra_mode, 0);
   return d.terminate();
 }
 
