@@ -323,11 +323,17 @@ def scan_decode(resi_y, resi_cb, resi_cr, xs, sizes: tuple, bit_depth: int,
                 strong: bool, h: int):
     """Single-program multi-size intra decode (prediction + dense residual).
 
-    xs: dict {log2: (pos, avail, availc, modes, cmodes)}.
+    xs: dict {log2: (pos, avail, availc, modes, cmodes)}. Cb and cr batch
+    through ONE stacked chroma plane (cr rows at +hc_off) so each step runs
+    one chroma pass instead of two — a third fewer ops on the
+    latency-bound wavefront.
     """
+    hcp = resi_cb.shape[0]                 # h//2 + pad
+    hc = h // 2
+    resi_c = jnp.concatenate([resi_cb, resi_cr], 0)
     ry = jnp.zeros_like(resi_y)
-    rcb = jnp.zeros_like(resi_cb)
-    rcr = jnp.zeros_like(resi_cr)
+    rc = jnp.zeros_like(resi_c)
+    coff = jnp.array([0, hcp], jnp.int32)
 
     def dec_plane(recon, resip, p, al, m, nn, c_idx):
         chains = _gather_chains(recon, p, nn)
@@ -338,7 +344,7 @@ def scan_decode(resi_y, resi_cb, resi_cr, xs, sizes: tuple, bit_depth: int,
         return recon.at[rows, cols].set(rec)
 
     def step(carry, x):
-        ry, rcb, rcr = carry
+        ry, rc = carry
         for log2 in sizes:
             n = 1 << log2
             p, al, ac, m, cm = x[log2]
@@ -346,16 +352,17 @@ def scan_decode(resi_y, resi_cb, resi_cr, xs, sizes: tuple, bit_depth: int,
             if log2 == 2:
                 carrier = (p[:, 0] % 8 == 4) & (p[:, 1] % 8 == 4)
                 pc = jnp.where(carrier[:, None], (p - 4) // 2,
-                               jnp.array([0, h // 2], jnp.int32))
+                               jnp.array([0, hc], jnp.int32))
                 mc2 = 4
             else:
                 pc = p // 2
-                pc = pc.at[:, 1].set(
-                    jnp.where(p[:, 1] >= h, h // 2, pc[:, 1]))
+                pc = pc.at[:, 1].set(jnp.where(p[:, 1] >= h, hc, pc[:, 1]))
                 mc2 = n // 2
-            rcb = dec_plane(rcb, resi_cb, pc, ac, cm, mc2, 1)
-            rcr = dec_plane(rcr, resi_cr, pc, ac, cm, mc2, 2)
-        return (ry, rcb, rcr), None
+            pcc = jnp.concatenate([pc, pc + coff], 0)
+            acc = jnp.concatenate([ac, ac], 0)
+            cmm = jnp.concatenate([cm, cm], 0)
+            rc = dec_plane(rc, resi_c, pcc, acc, cmm, mc2, 1)
+        return (ry, rc), None
 
-    (ry, rcb, rcr), _ = jax.lax.scan(step, (ry, rcb, rcr), xs)
-    return ry, rcb, rcr
+    (ry, rc), _ = jax.lax.scan(step, (ry, rc), xs)
+    return ry, rc[:hcp], rc[hcp:]

@@ -8,7 +8,7 @@ import os
 import resource
 import sys
 
-os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")  # mute AOT-cache chatter
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")  # mute AOT-cache chatter
 
 # The XLA CPU compiler recurses deeply on the big wavefront-scan programs
 # (ss_scan.scan_encode_pss): the default 8 MiB main-thread stack overflows
