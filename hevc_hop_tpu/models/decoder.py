@@ -106,9 +106,10 @@ class Decoder:
         self.sei_log = []    # (payload_type, parsed-or-raw) observability
 
     @property
-    def pictures(self) -> list:
-        """Host (numpy int32) decoded pictures, fetched lazily in one
-        batched roundtrip (uint8/uint16 over the wire)."""
+    def pictures_full(self) -> list:
+        """Host (numpy int32) decoded pictures at CODED size (the
+        decoded-picture-hash domain), fetched lazily in one batched
+        roundtrip (uint8/uint16 over the wire)."""
         if len(self._pics_np) < len(self._pics_dev):
             udt = (jnp.uint8 if self.sps.bit_depth <= 8 else jnp.uint16)
             pend = self._pics_dev[len(self._pics_np):]
@@ -117,6 +118,19 @@ class Decoder:
             self._pics_np.extend(
                 tuple(np.asarray(p, np.int32) for p in t) for t in got)
         return self._pics_np
+
+    @property
+    def pictures(self) -> list:
+        """Output pictures with the SPS conformance window applied
+        (TVideoIOYuv conformance-window crop analog)."""
+        full = self.pictures_full
+        cr_, cb_ = self.sps.conf_win_right, self.sps.conf_win_bottom
+        if not (cr_ or cb_):
+            return full
+        uw = self.sps.pic_width - cr_
+        uh = self.sps.pic_height - cb_
+        return [(y[:uh, :uw], cb[:uh // 2, :uw // 2],
+                 cr[:uh // 2, :uw // 2]) for (y, cb, cr) in full]
 
     def decode_stream(self, stream: bytes) -> list:
         """Decode an AnnexB stream; returns list of (y, cb, cr) frames."""
@@ -161,7 +175,7 @@ class Decoder:
                                 msg.payload[1:] == b"".join(dig))
                         else:
                             self.hash_ok.append(seimod.verify_picture_hash(
-                                msg.payload, *self.pictures[-1],
+                                msg.payload, *self.pictures_full[-1],
                                 self.sps.bit_depth))
         return self.pictures
 
@@ -411,5 +425,6 @@ class Decoder:
         self._pics_dev.append((ry, rcb, rcr))
 
     def picture_md5(self, idx: int = -1) -> bytes:
-        y, cb, cr = self.pictures[idx]
+        # the decoded-picture hash covers the FULL coded picture
+        y, cb, cr = self.pictures_full[idx]
         return yuvio.picture_md5(y, cb, cr, self.sps.bit_depth)

@@ -63,8 +63,17 @@ class EncoderConfig:
 
 class IntraEncoder:
     def __init__(self, cfg: EncoderConfig) -> None:
-        assert cfg.width % 8 == 0 and cfg.height % 8 == 0, \
-            "pad input to multiples of 8 (conformance window TODO)"
+        assert cfg.width % 2 == 0 and cfg.height % 2 == 0, \
+            "4:2:0 needs even luma dimensions"
+        # conformance window: code at the next multiple of MinCbSizeY and
+        # signal the crop (TVideoIOYuv conformance-window handling /
+        # SPS conf_win_*_offset, H.265 7.4.3.2)
+        self.user_w, self.user_h = cfg.width, cfg.height
+        pw, ph = -cfg.width % 8, -cfg.height % 8
+        self._pad = (pw, ph)
+        if pw or ph:
+            cfg = dataclasses.replace(cfg, width=cfg.width + pw,
+                                      height=cfg.height + ph)
         self.cfg = cfg
         if cfg.sao:
             assert cfg.width % (1 << cfg.ctb_log2) == 0 \
@@ -77,6 +86,7 @@ class IntraEncoder:
             bit_depth=cfg.bit_depth, ctb_log2=cfg.ctb_log2,
             max_transform_hierarchy_depth_intra=1 if self._use_rqt else 0,
             sao_enabled=cfg.sao,
+            conf_win_right=self._pad[0], conf_win_bottom=self._pad[1],
             strong_intra_smoothing=cfg.strong_intra_smoothing)
         self.pps = params.PPS(init_qp=26,
                               sign_data_hiding=cfg.sbh,
@@ -263,6 +273,13 @@ class IntraEncoder:
         t0 = _time.perf_counter()
         cfg = self.cfg
         w, h = cfg.width, cfg.height
+        pw, ph = self._pad
+        if pw or ph:    # conformance-window edge padding
+            y = np.pad(np.asarray(y), ((0, ph), (0, pw)), mode="edge")
+            cb = np.pad(np.asarray(cb), ((0, ph // 2), (0, pw // 2)),
+                        mode="edge")
+            cr = np.pad(np.asarray(cr), ((0, ph // 2), (0, pw // 2)),
+                        mode="edge")
         depth8, mode4, tulog8 = self._decide(y)
         leaves, sizes, data, tu4, scat = self._schedule(depth8, tulog8)
         stats["decide_s"] = _time.perf_counter() - t0
@@ -423,7 +440,9 @@ class IntraEncoder:
         return out
 
     @property
-    def recon_yuv(self):
+    def recon_full(self):
+        """Full coded-size reconstruction (pre conformance crop) — the
+        decoded-picture-hash domain."""
         if self._recon_np is None:
             udt = jnp.uint8 if self.cfg.bit_depth <= 8 else jnp.uint16
             got = jax.device_get(tuple(p.astype(udt)
@@ -431,6 +450,13 @@ class IntraEncoder:
             self._recon_np = tuple(np.asarray(p, np.int32) for p in got)
         return self._recon_np
 
+    @property
+    def recon_yuv(self):
+        y, cb, cr = self.recon_full
+        uw, uh = self.user_w, self.user_h
+        return (y[:uh, :uw], cb[:uh // 2, :uw // 2],
+                cr[:uh // 2, :uw // 2])
+
     def recon_md5(self) -> bytes:
-        y, cb, cr = self.recon_yuv
+        y, cb, cr = self.recon_full
         return yuvio.picture_md5(y, cb, cr, self.cfg.bit_depth)
