@@ -184,7 +184,8 @@ class HoloEncoder:
             "quadtree mode needs CTB-aligned dims"
         depth8, mode4 = ss_partition.decide(
             np.asarray(y), cfg.qp, cfg.ctb_log2, cfg.search_range,
-            cfg.mi_size, cfg.bit_depth, ref_y)
+            cfg.mi_size, cfg.bit_depth, ref_y,
+            radius_t=cfg.search_range_t)
         self._depth8 = depth8
         leaves = wavefront.leaves_from_depth(
             depth8, cfg.width, cfg.height, cfg.ctb_log2)

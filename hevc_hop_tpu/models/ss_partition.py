@@ -35,9 +35,10 @@ def _level_bits(lev: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n", "qp", "bit_depth", "radius", "w", "h", "mi_size", "temporal"))
+    "n", "qp", "bit_depth", "radius", "radius_t", "w", "h", "mi_size",
+    "temporal"))
 def _ss_rd_size(org_y, ref_y, pos, zcur, zmaxw, n: int, qp: int,
-                bit_depth: int, radius: int, w: int, h: int,
+                bit_depth: int, radius: int, radius_t: int, w: int, h: int,
                 mi_size: int, temporal: bool):
     """RD cost of the best inter arm (SS full search on the org plane,
     optional temporal arm on ref_y) for every n-block: transform/quant
@@ -57,11 +58,13 @@ def _ss_rd_size(org_y, ref_y, pos, zcur, zmaxw, n: int, qp: int,
     mv_rate = cost - sse
     best_cost = cost
     if temporal:
+        # temporal arm uses ITS radius (search_range_t), not the SS one
+        # (advisor round-4: the mismatch skewed PSS partition decisions)
         tpreds = jnp.broadcast_to(
             jnp.zeros((1, 1, 2), jnp.int32), (b, 1, 2))
-        trate_map = ss_scan._dyn_rate_map(tpreds, radius, lam)
+        trate_map = ss_scan._dyn_rate_map(tpreds, radius_t, lam)
         mv_t, tcost, tpred, tsse = ss_scan._t_search(
-            ref_y, org, pos, trate_map, n, radius, w, h)
+            ref_y, org, pos, trate_map, n, radius_t, w, h)
         use_t = tcost < cost
         pred = jnp.where(use_t[:, None, None], tpred, pred)
         mv_rate = jnp.where(use_t, tcost - tsse, mv_rate)
@@ -81,7 +84,7 @@ def _ss_rd_size(org_y, ref_y, pos, zcur, zmaxw, n: int, qp: int,
 
 def decide(y: np.ndarray, qp: int, ctb_log2: int, radius: int,
            mi_size: int, bit_depth: int = 8,
-           ref_y: np.ndarray | None = None):
+           ref_y: np.ndarray | None = None, radius_t: int | None = None):
     """Quadtree depth map [h//8, w//8] + per-4x4 intra mode map for an
     ISS (ref_y None) or PSS picture. Luma-only decision (chroma follows),
     CU sizes 8/16/32. The RD-chosen intra modes feed the wavefront scan
@@ -101,7 +104,9 @@ def decide(y: np.ndarray, qp: int, ctb_log2: int, radius: int,
         zmaxw = jnp.asarray(ss_scan.zmax_win_px(zplane4, n))
         icost, imode = partition.rd_costs(org, n, qp, bit_depth)
         scost = _ss_rd_size(org, ref, pos, zcur, zmaxw, n, qp,
-                            bit_depth, radius, w, h, mi_size,
+                            bit_depth, radius,
+                            radius_t if radius_t is not None else radius,
+                            w, h, mi_size,
                             ref_y is not None).reshape(by, bx)
         costs[log2] = jnp.minimum(icost, scost)
         modes[log2] = imode

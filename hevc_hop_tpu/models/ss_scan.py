@@ -359,6 +359,13 @@ def _gather_cands(mvx4, mvy4, pi4, rf4, pos, nbav, miav, n: int,
                   mi_size: int, ss_idx: int):
     """Gather merge/AMVP raw material from the carried motion planes.
 
+    Known approximation (advisor round-4): the static nbav availability
+    can mark a SAME-wavefront-step neighbor available before its motion
+    carry is written this step, so the encoder may see zero motion for it
+    and mildly under-rate merge/AMVP candidates. Encoder-side only — the
+    native serializer re-derives predictors from the final maps, so
+    streams stay decoder-consistent.
+
     Candidate order: five spatial neighbors A1, B1, B0, A0, B2
     (TComDataCU::getInterMergeCandidates, TComDataCU.cpp:2761), three MI
     candidates (getMILeftCand/Above/AboveLeft, :2642-2712), zero. Returns
